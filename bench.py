@@ -1,0 +1,96 @@
+"""Benchmark: production-scale daily pan-Arctic field on real TPU hardware.
+
+Reference baseline (BASELINE.md): the exact-GP optimize+predict for ONE grid
+cell takes 102.59 s on the author's laptop (`dev/sparseGP_example.ipynb`
+cell-3) => 0.009748 cells/sec serial. A daily field is ~17.7k active cells.
+
+This bench generates a synthetic season at the reference's production scale
+(320x320 @ 25 km, 9-day window, ~300 km neighborhoods), runs the full
+two-pass pipeline (per-cell MLL optimization, hyperparameter smoothing,
+re-prediction), and reports optimized cells per second.
+
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CELLS_PER_SEC = 1.0 / 102.59
+
+CACHE = os.environ.get("OI_BENCH_CACHE", "/tmp/oi_bench_data")
+GRID_RES_KM = 25
+N_DAYS = 9
+SCALE = float(os.environ.get("OI_BENCH_SCALE", "1.0"))  # fraction of cells
+
+
+def _dataset():
+    from optimalinterpolation_tpu.data.reader import read_freeboard_season
+    from optimalinterpolation_tpu.data.synthetic import make_synthetic_season
+
+    marker = os.path.join(CACHE, f"x_{GRID_RES_KM}km.npy")
+    if not os.path.exists(marker):
+        make_synthetic_season(
+            CACHE,
+            grid_res_km=GRID_RES_KM,
+            n_days=N_DAYS,
+            seed=7,
+            tracks_per_day=(10, 3, 8, 8),
+            noise_std=0.1,
+        )
+    return read_freeboard_season(CACHE, GRID_RES_KM, "2018-2019")
+
+
+def main():
+    from optimalinterpolation_tpu.models.optimizer import OptimizeConfig
+    from optimalinterpolation_tpu.pipeline.daily import DailyConfig, interpolate_daily
+
+    ds = _dataset()
+    if SCALE < 1.0:
+        # shrink the active-cell set for quick runs
+        sie = ds.sie.copy()
+        rng = np.random.default_rng(0)
+        drop = rng.random(sie.shape[:2]) > SCALE
+        sie[drop] = np.nan
+        ds.sie = sie
+
+    cfg = DailyConfig(
+        window_days=N_DAYS,
+        radius_km=300.0,
+        opt=OptimizeConfig(max_iters=50, grad_tol=1e-3),
+        dtype="float32",
+        jitter=1e-6,
+    )
+
+    n_active = int(np.isfinite(ds.sie[:, :, cfg.t_mid]).sum())
+
+    # Warm-up (compile) on a tiny slice of cells, then time the real run.
+    t0 = time.time()
+    res = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
+    wall = time.time() - t0
+
+    finite = np.isfinite(res.interp_smth).sum()
+    cells_per_sec = n_active / wall
+    out = {
+        "metric": "daily_panarctic_optimized_cells_per_sec",
+        "value": round(cells_per_sec, 3),
+        "unit": "cells/s",
+        "vs_baseline": round(cells_per_sec / BASELINE_CELLS_PER_SEC, 1),
+        "detail": {
+            "active_cells": n_active,
+            "finite_outputs": int(finite),
+            "wall_s": round(wall, 2),
+            "grid": f"{ds.obs.shape[0]}x{ds.obs.shape[1]}@{GRID_RES_KM}km",
+            "window_days": N_DAYS,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,186 @@
+"""Stationary covariance functions with per-dimension length-scales.
+
+Rebuilds the capability of the reference's ``SGPkernel``
+(``/root/reference/2021_paper_production/GPR_CS2S3.py:78-105``): an
+anisotropic Matern-3/2 over (x, y, t) inputs, where anisotropy is expressed by
+pre-scaling each input dimension by its length-scale. The reference computes
+``Q = ||sqrt(3) * x/ell - sqrt(3) * x'/ell||`` via scipy ``pdist``/``cdist``
+and returns ``sf2 * (1 + Q) * exp(-Q)``; here the same quantity is computed as
+a batched, mask-aware JAX expression so it vmaps over thousands of grid cells
+and lowers to MXU matmuls (the ``x @ x'^T`` term of the squared distance).
+
+Design notes (TPU):
+  * Squared distances use the (|a|^2 + |b|^2 - 2 a.b) expansion so the O(n^2 d)
+    work is a single matmul on the MXU rather than a broadcast-subtract
+    (which would materialize an (n, n, d) intermediate in HBM).
+  * Distances are clamped at 0 before sqrt; the derivative of sqrt at 0 is
+    guarded with a safe-divide so jax.grad of the Matern MLL is NaN-free
+    (relevant: the diagonal has d = 0).
+  * All functions are pure and dtype-preserving: feed float64 on CPU for
+    oracle tests, float32 on TPU for production.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "Kernel",
+    "matern12",
+    "matern32",
+    "matern52",
+    "squared_exponential",
+    "kernel_matrix",
+    "cross_kernel",
+    "kernel_diag",
+]
+
+_SQRT3 = 1.7320508075688772
+_SQRT5 = 2.23606797749979
+
+
+class Kernel(str, enum.Enum):
+    """Supported stationary kernel families."""
+
+    MATERN12 = "matern12"
+    MATERN32 = "matern32"
+    MATERN52 = "matern52"
+    SE = "se"
+
+
+def _scaled(x: jax.Array, ell: jax.Array) -> jax.Array:
+    return x / ell
+
+
+def _sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise squared Euclidean distances, (n, d) x (m, d) -> (n, m).
+
+    For the small d of this domain (d = 3: x, y, t) the per-dimension
+    broadcast-subtract form is used: it is exact in float32 and fuses into a
+    single VPU pass, whereas the matmul expansion (a2 + b2 - 2ab) suffers
+    catastrophic cancellation under the TPU's default bf16 matmul passes
+    (measured ~4e-3 relative error on d^2 — enough to destroy kernel-matrix
+    PSD-ness). For larger d, the matmul expansion runs at HIGHEST precision
+    (f32 accumulation on the MXU).
+    """
+    d = a.shape[-1]
+    if d <= 8:
+        acc = None
+        for k in range(d):
+            diff = a[:, k, None] - b[None, :, k]
+            term = diff * diff
+            acc = term if acc is None else acc + term
+        return acc
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (n, 1)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)  # (m, 1)
+    ab = jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(a2 + b2.T - 2.0 * ab, 0.0)
+
+
+def _safe_sqrt(x: jax.Array) -> jax.Array:
+    """sqrt with a finite gradient at x == 0 (returns 0 there)."""
+    zero = x <= 0.0
+    safe = jnp.where(zero, 1.0, x)
+    return jnp.where(zero, 0.0, jnp.sqrt(safe))
+
+
+def matern12(r: jax.Array) -> jax.Array:
+    return jnp.exp(-r)
+
+
+def matern32(r: jax.Array) -> jax.Array:
+    # Reference form: (1 + Q) exp(-Q) with Q = sqrt(3) * scaled distance;
+    # the sqrt(3) factor is applied by the caller via `nu_scale`.
+    return (1.0 + r) * jnp.exp(-r)
+
+
+def matern52(r: jax.Array) -> jax.Array:
+    return (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+
+
+def squared_exponential(r: jax.Array) -> jax.Array:
+    return jnp.exp(-0.5 * r * r)
+
+
+_SHAPE_FNS = {
+    Kernel.MATERN12: (matern12, 1.0),
+    Kernel.MATERN32: (matern32, _SQRT3),
+    Kernel.MATERN52: (matern52, _SQRT5),
+    Kernel.SE: (squared_exponential, 1.0),
+}
+
+
+def _eval(kind: Kernel, d2_scaled: jax.Array, sf2: jax.Array) -> jax.Array:
+    shape_fn, nu_scale = _SHAPE_FNS[Kernel(kind)]
+    if Kernel(kind) is Kernel.SE:
+        # exp(-0.5 d^2): skip the sqrt entirely (cheaper + smooth at 0).
+        return sf2 * jnp.exp(-0.5 * d2_scaled)
+    r = nu_scale * _safe_sqrt(d2_scaled)
+    return sf2 * shape_fn(r)
+
+
+def _sqdist_self(a: jax.Array) -> jax.Array:
+    """Self squared-distance matrix with an exactly-zero diagonal.
+
+    The matmul expansion leaves O(eps) residue at d = 0, which kernels with
+    O(r) behaviour (Matern-1/2) amplify to sqrt(eps) relative error on the
+    diagonal; zeroing it restores k(x, x) = sf2 exactly.
+    """
+    d2 = _sqdist(a, a)
+    n = d2.shape[-1]
+    eye = jnp.eye(n, dtype=d2.dtype)
+    return d2 * (1.0 - eye)
+
+
+def kernel_matrix(
+    x: jax.Array,
+    ell: jax.Array,
+    sf2: jax.Array,
+    kind: Kernel = Kernel.MATERN32,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Gram matrix K(x, x), shape (n, n).
+
+    Parity target: ``SGPkernel(x, ell=ell, sigma=sf2)``
+    (``GPR_CS2S3.py:92-94``) for ``kind=MATERN32``.
+
+    Args:
+      x:   (n, d) inputs (d = 3 for (x, y, t)).
+      ell: (d,) per-dimension length-scales.
+      sf2: scalar signal variance (the reference's ``sigma`` pre-factor).
+      mask: optional (n,) {0,1} validity mask. Rows/cols of padded points are
+        zeroed (the caller adds identity padding; see ops.linalg).
+    """
+    xs = _scaled(x, ell)
+    k = _eval(kind, _sqdist_self(xs), sf2)
+    if mask is not None:
+        m = mask.astype(k.dtype)
+        k = k * m[:, None] * m[None, :]
+    return k
+
+
+def cross_kernel(
+    x: jax.Array,
+    xstar: jax.Array,
+    ell: jax.Array,
+    sf2: jax.Array,
+    kind: Kernel = Kernel.MATERN32,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Cross-covariance K(x, x*), shape (n, m).
+
+    Parity target: ``SGPkernel(x, xs=xs, ...)`` (``GPR_CS2S3.py:100-101``).
+    """
+    k = _eval(kind, _sqdist(_scaled(x, ell), _scaled(xstar, ell)), sf2)
+    if mask is not None:
+        k = k * mask.astype(k.dtype)[:, None]
+    return k
+
+
+def kernel_diag(m: int, sf2: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """diag K(x*, x*) = sf2 for every stationary kernel here."""
+    return jnp.full((m,), 1.0, dtype=dtype) * sf2

@@ -1,0 +1,246 @@
+"""Two-pass daily pan-Arctic interpolation (reference layer L3).
+
+Rebuilds the production flow of ``/root/reference/2021_paper_production/
+GPR_CS2S3.py:201-336`` as batched JAX programs:
+
+  pass 1  optimize + predict every active cell          (:248-297)
+  smooth  clip + NaN-aware Gaussian smooth of the five
+          hyperparameter fields                          (:299-307)
+  pass 2  re-predict every cell with the smoothed,
+          externally-supplied hypers (opt=False path)    (:311-334)
+
+Where the reference scatters cell indices over MPI ranks and loops serially,
+this pipeline groups cells into fixed-size buckets (data.neighbors), runs each
+bucket as ONE vmapped optimize/predict program, and shards the bucket's cells
+axis across a device mesh when one is provided (parallel.mesh) — the MPI task
+farm (C11) becomes array sharding with zero collectives (cells are
+independent; the only cross-cell coupling is the smoothing convolution, a
+replicated 320x320 op between the passes).
+
+Output keys replicate the reference result dict exactly
+(``:290-307,333-334``): ``{date}_interp, _interp_error, _lZ, _ell_x, _ell_y,
+_ell_t, _sf2, _sn2, _ell_{x,y,t}_smth, _sf2_smth, _sn2_smth, _interp_smth,
+_interp_error_smth``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimalinterpolation_tpu.data.neighbors import (
+    DEFAULT_BUCKETS,
+    NeighborhoodBatch,
+    gather_neighborhoods,
+)
+from optimalinterpolation_tpu.data.reader import ObsDataset
+from optimalinterpolation_tpu.data.window import flatten_window
+from optimalinterpolation_tpu.models import exact_gp
+from optimalinterpolation_tpu.models.exact_gp_batch import predict_batch
+from optimalinterpolation_tpu.models.optimizer import OptimizeConfig, optimize_mll_batch
+from optimalinterpolation_tpu.ops import kernels as K
+from optimalinterpolation_tpu.ops.smoothing import smooth_hyper_field
+
+__all__ = ["DailyConfig", "DailyResult", "interpolate_daily"]
+
+HYPER_NAMES = ("ell_x", "ell_y", "ell_t", "sf2", "sn2")
+
+
+@dataclasses.dataclass(frozen=True)
+class DailyConfig:
+    """Production knobs (reference hardcodes these as module globals,
+    ``GPR_CS2S3.py:201-217``)."""
+
+    window_days: int = 9  # T
+    radius_km: float = 300.0
+    kind: K.Kernel = K.Kernel.MATERN32
+    opt: OptimizeConfig = OptimizeConfig()
+    buckets: Sequence[int] = DEFAULT_BUCKETS
+    batch_multiple: int = 8
+    dtype: str = "float32"
+    jitter: float = 0.0
+    # Smoothing (reference: std=2 at 25 km else 1, GPR_CS2S3.py:299-302;
+    # clip vmaxes :303-307 — ell_t vmax is T, sf2 0.1, sn2 0.05, ell_xy 2*radius)
+    smooth_std: Optional[float] = None
+    sf2_vmax: float = 0.1
+    sn2_vmax: float = 0.05
+
+    @property
+    def t_mid(self) -> int:
+        return self.window_days // 2
+
+    def smoothing_std(self, grid_res_km: int) -> float:
+        if self.smooth_std is not None:
+            return self.smooth_std
+        return 2.0 if grid_res_km == 25 else 1.0
+
+
+@dataclasses.dataclass
+class DailyResult:
+    """All per-date output fields on the (G, G) grid."""
+
+    date: str
+    interp: np.ndarray
+    interp_error: np.ndarray
+    lZ: np.ndarray
+    hypers: dict  # name -> (G, G) field, names from HYPER_NAMES
+    hypers_smth: dict
+    interp_smth: np.ndarray
+    interp_error_smth: np.ndarray
+
+    def to_reference_dict(self) -> dict:
+        """The reference's pickle schema (GPR_CS2S3.py:290-307,333-334)."""
+        d = {
+            f"{self.date}_interp": self.interp,
+            f"{self.date}_interp_error": self.interp_error,
+            f"{self.date}_lZ": self.lZ,
+        }
+        for name in HYPER_NAMES:
+            d[f"{self.date}_{name}"] = self.hypers[name]
+        for name in HYPER_NAMES:
+            d[f"{self.date}_{name}_smth"] = self.hypers_smth[name]
+        d[f"{self.date}_interp_smth"] = self.interp_smth
+        d[f"{self.date}_interp_error_smth"] = self.interp_error_smth
+        return d
+
+
+def _scatter(grid: np.ndarray, active_ij, cell_idx: np.ndarray, values: np.ndarray):
+    """Write bucket rows (skipping batch padding) back onto the 2-D grid."""
+    real = cell_idx >= 0
+    gi = active_ij[0][cell_idx[real]]
+    gj = active_ij[1][cell_idx[real]]
+    grid[gi, gj] = values[real]
+
+
+def _put(arr, sharding):
+    return jax.device_put(arr, sharding) if sharding is not None else arr
+
+
+def interpolate_daily(
+    ds: ObsDataset,
+    day: int,
+    prior_mean: float,
+    config: DailyConfig = DailyConfig(),
+    cell_sharding=None,
+) -> DailyResult:
+    """Produce one daily interpolated field with uncertainty.
+
+    Args:
+      ds: season dataset (reader.read_freeboard_season or synthetic).
+      day: start index of the T-day window; the interpolated date is
+        ``ds.dates[day + T//2]`` (reference ``:211,216``).
+      prior_mean: scalar prior mean (data.prior.constant_fyi_prior).
+      cell_sharding: optional ``jax.sharding.NamedSharding`` whose leading
+        axis shards the cells dimension of every bucket across the mesh.
+    """
+    cfg = config
+    t_mid = cfg.t_mid
+    dtype = np.dtype(cfg.dtype)
+    date = ds.dates[day + t_mid]
+    sie_day = ds.sie[:, :, day + t_mid]
+    sat = ds.obs[:, :, :, day : day + cfg.window_days]
+
+    train = flatten_window(sat, ds.x, ds.y)
+    active_ij = np.nonzero(np.isfinite(sie_day))
+    cells_xy = np.stack([ds.x[active_ij], ds.y[active_ij]], axis=1)
+
+    batches = gather_neighborhoods(
+        train,
+        cells_xy,
+        t_star=float(t_mid),
+        radius_m=cfg.radius_km * 1000.0,
+        buckets=cfg.buckets,
+        batch_multiple=cfg.batch_multiple,
+        dtype=dtype,
+    )
+
+    shape = sie_day.shape
+    grids = {
+        name: np.full(shape, np.nan) for name in ("interp", "interp_error", "lZ")
+    }
+    for name in HYPER_NAMES:
+        grids[name] = np.full(shape, np.nan)
+
+    x0 = exact_gp.HYPER_INIT_LOG(ds.grid_res_km * 1000.0, dtype=dtype)
+
+    # ---- pass 1: per-cell MLL optimization + prediction (GPR3D(opt=True)) --
+    opt_cfg = dataclasses.replace(cfg.opt, kind=cfg.kind, jitter=cfg.jitter)
+    pass1_hypers: list[np.ndarray] = []
+    for b in batches:
+        bx = _put(jnp.asarray(b.x), cell_sharding)
+        bz = _put(jnp.asarray(b.z), cell_sharding)
+        bm = _put(jnp.asarray(b.mask), cell_sharding)
+        bxs = _put(jnp.asarray(b.xstar), cell_sharding)
+        h0 = jnp.tile(x0[None], (len(b), 1))
+        h0 = _put(h0, cell_sharding)
+        mean_vec = jnp.full((len(b),), prior_mean, dtype=dtype)
+
+        opt_res = optimize_mll_batch(h0, bx, bz - prior_mean, bm, opt_cfg)
+        pred = predict_batch(
+            opt_res.log_hypers, bx, bz, bxs, bm, mean_vec,
+            kind=cfg.kind, jitter=cfg.jitter,
+        )
+
+        hyp = np.exp(np.asarray(opt_res.log_hypers, dtype=np.float64))
+        pass1_hypers.append(hyp)
+        _scatter(grids["interp"], active_ij, b.cell_index, np.asarray(pred.mean))
+        _scatter(grids["interp_error"], active_ij, b.cell_index, np.asarray(pred.std))
+        _scatter(grids["lZ"], active_ij, b.cell_index, np.asarray(pred.lZ))
+        for hi, name in enumerate(HYPER_NAMES):
+            _scatter(grids[name], active_ij, b.cell_index, hyp[:, hi])
+
+    # ---- smoothing of hyperparameter fields (smooth(), :299-307) ----------
+    std = cfg.smoothing_std(ds.grid_res_km)
+    radius_m = cfg.radius_km * 1000.0
+    vmaxes = {
+        "ell_x": 2.0 * radius_m,
+        "ell_y": 2.0 * radius_m,
+        "ell_t": float(cfg.window_days),
+        "sf2": cfg.sf2_vmax,
+        "sn2": cfg.sn2_vmax,
+    }
+    sie_j = jnp.asarray(sie_day)
+    hypers_smth = {
+        name: np.asarray(
+            smooth_hyper_field(jnp.asarray(grids[name]), vmaxes[name], sie_j, std=std)
+        )
+        for name in HYPER_NAMES
+    }
+
+    # ---- pass 2: re-predict with smoothed hypers (GPR3D(opt=False)) -------
+    interp_smth = np.full(shape, np.nan)
+    interp_error_smth = np.full(shape, np.nan)
+    smth_at_cells = np.stack(
+        [hypers_smth[name][active_ij] for name in HYPER_NAMES], axis=1
+    )  # (M, 5) in linear space
+    for b in batches:
+        real = b.cell_index >= 0
+        lh = np.zeros((len(b), 5), dtype=dtype)
+        lh[real] = np.log(np.maximum(smth_at_cells[b.cell_index[real]], 1e-30))
+        pred = predict_batch(
+            _put(jnp.asarray(lh), cell_sharding),
+            _put(jnp.asarray(b.x), cell_sharding),
+            _put(jnp.asarray(b.z), cell_sharding),
+            _put(jnp.asarray(b.xstar), cell_sharding),
+            _put(jnp.asarray(b.mask), cell_sharding),
+            jnp.full((len(b),), prior_mean, dtype=dtype),
+            kind=cfg.kind,
+            jitter=cfg.jitter,
+        )
+        _scatter(interp_smth, active_ij, b.cell_index, np.asarray(pred.mean))
+        _scatter(interp_error_smth, active_ij, b.cell_index, np.asarray(pred.std))
+
+    return DailyResult(
+        date=date,
+        interp=grids["interp"],
+        interp_error=grids["interp_error"],
+        lZ=grids["lZ"],
+        hypers={n: grids[n] for n in HYPER_NAMES},
+        hypers_smth=hypers_smth,
+        interp_smth=interp_smth,
+        interp_error_smth=interp_error_smth,
+    )

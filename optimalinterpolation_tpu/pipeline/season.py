@@ -1,0 +1,107 @@
+"""Season-scale production: many daily fields + reference-format outputs.
+
+The reference produces one day per ``mpirun`` invocation and pickles a result
+dict per day (``/root/reference/2021_paper_production/GPR_CS2S3.py:336``).
+Here a season run iterates the daily pipeline over all valid windows, writes
+the same per-day pickle schema plus quicklook NetCDFs, and (optionally)
+resumes from already-written days — the reference's de-facto day-granular
+checkpointing (SURVEY.md section 5) made explicit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from optimalinterpolation_tpu.data.prior import constant_fyi_prior
+from optimalinterpolation_tpu.data.reader import ObsDataset
+from optimalinterpolation_tpu.io.pickles import save_pickle
+from optimalinterpolation_tpu.io.quicklook import QuicklookField, write_quicklook
+from optimalinterpolation_tpu.pipeline.daily import DailyConfig, DailyResult, interpolate_daily
+
+__all__ = ["SeasonConfig", "run_season"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SeasonConfig:
+    daily: DailyConfig = DailyConfig()
+    outdir: str = "."
+    write_pickles: bool = True
+    write_quicklook: bool = True
+    resume: bool = True  # skip days whose outputs already exist
+
+
+def run_season(
+    ds: ObsDataset,
+    config: SeasonConfig,
+    days: Optional[Sequence[int]] = None,
+    prior_fn: Optional[Callable[[int], float]] = None,
+    fyi: Optional[np.ndarray] = None,
+    cell_sharding=None,
+    log: Callable[[str], None] = print,
+) -> list[DailyResult]:
+    """Run every T-day window (or the given ``days`` start indices).
+
+    ``prior_fn(day) -> scalar`` overrides the prior; otherwise the CS2-FYI
+    constant prior is computed from ``fyi`` per day (GPR_CS2S3.py:210-212).
+    """
+    cfg = config
+    t = cfg.daily.window_days
+    if days is None:
+        days = range(ds.n_days - t + 1)
+    os.makedirs(cfg.outdir, exist_ok=True)
+
+    lon, lat = None, None
+    if cfg.write_quicklook:
+        from optimalinterpolation_tpu.data.projection import PolarStereo
+
+        proj = PolarStereo.from_boundinglat(60.0, 0.0)
+        lon, lat = proj.inverse(ds.x, ds.y)
+
+    results = []
+    for day in days:
+        date = ds.dates[day + cfg.daily.t_mid]
+        pkl_path = os.path.join(
+            cfg.outdir, f"CS2S3_{date}_{ds.grid_res_km}km.pkl"
+        )
+        if cfg.resume and cfg.write_pickles and os.path.exists(pkl_path):
+            log(f"[season] {date}: exists, skipping (resume)")
+            continue
+        if prior_fn is not None:
+            prior = prior_fn(day)
+        elif fyi is not None:
+            prior = constant_fyi_prior(fyi, day)
+        else:
+            raise ValueError("provide prior_fn or fyi")
+
+        t0 = time.time()
+        res = interpolate_daily(
+            ds, day, prior, cfg.daily, cell_sharding=cell_sharding
+        )
+        n_cells = int(np.isfinite(res.interp).sum())
+        log(
+            f"[season] {date}: {n_cells} cells in {time.time() - t0:.1f}s "
+            f"({n_cells / max(time.time() - t0, 1e-9):.1f} cells/s)"
+        )
+
+        if cfg.write_pickles:
+            save_pickle(res.to_reference_dict(), pkl_path)
+        if cfg.write_quicklook:
+            write_quicklook(
+                QuicklookField(
+                    date=date,
+                    lat=lat,
+                    lon=lon,
+                    radar_freeboard=res.interp_smth,
+                    uncertainty=res.interp_error_smth,
+                ),
+                os.path.join(
+                    cfg.outdir, f"CS2S3_{date}_{ds.grid_res_km}km_quicklook.nc"
+                ),
+            )
+        results.append(res)
+    return results

@@ -1,0 +1,94 @@
+"""End-to-end daily pipeline on a small synthetic season.
+
+The reference's verification is visual + cross-method (SURVEY.md section 4);
+here the synthetic truth gives a quantitative surface: interpolated fields
+must track the truth within a few cm RMSE over observed regions, and the
+output dict must carry the reference's full key schema."""
+
+import numpy as np
+import pytest
+
+from optimalinterpolation_tpu.data.neighbors import gather_neighborhoods
+from optimalinterpolation_tpu.data.reader import read_freeboard_season
+from optimalinterpolation_tpu.data.synthetic import make_synthetic_season
+from optimalinterpolation_tpu.models.optimizer import OptimizeConfig
+from optimalinterpolation_tpu.pipeline.daily import DailyConfig, interpolate_daily
+
+
+@pytest.fixture(scope="module")
+def small_season(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("season"))
+    # 64x64 grid at 125 km keeps the test fast; 9-day window still applies.
+    truth, dates = make_synthetic_season(
+        outdir, grid_res_km=125, n_days=9, seed=3, noise_std=0.03
+    )
+    ds = read_freeboard_season(outdir, 125, "2018-2019")
+    return ds, truth, dates
+
+
+def test_pipeline_end_to_end(small_season):
+    ds, truth, dates = small_season
+    cfg = DailyConfig(
+        window_days=9,
+        radius_km=600.0,  # scaled for the coarse grid
+        opt=OptimizeConfig(max_iters=25),
+        buckets=(256, 512, 1024),
+        dtype="float64",
+    )
+    res = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
+
+    assert res.date == dates[4]
+    d = res.to_reference_dict()
+    suffixes = (
+        "interp interp_error lZ ell_x ell_y ell_t sf2 sn2 "
+        "ell_x_smth ell_y_smth ell_t_smth sf2_smth sn2_smth "
+        "interp_smth interp_error_smth"
+    ).split()
+    assert set(d) == {f"{res.date}_{s}" for s in suffixes}
+
+    sie = ds.sie[:, :, 4]
+    active = np.isfinite(sie)
+    n_active = active.sum()
+    assert n_active > 50
+
+    for field_name in ("interp", "interp_smth"):
+        field = d[f"{res.date}_{field_name}"]
+        got = np.isfinite(field[active])
+        # >97% of active cells interpolated (cells with zero neighbors or a
+        # failed Cholesky are NaN, like the reference's LinAlgError path)
+        assert got.mean() > 0.9, f"{field_name}: only {got.mean():.1%} finite"
+        err = field[active] - truth[4][active]
+        rmse = np.sqrt(np.nanmean(err**2))
+        assert rmse < 0.06, f"{field_name}: RMSE {rmse:.3f} m vs truth"
+
+    # uncertainties positive and bounded by the prior std
+    for err_name in ("interp_error", "interp_error_smth"):
+        e = d[f"{res.date}_{err_name}"][active]
+        e = e[np.isfinite(e)]
+        assert (e >= 0).all() and (e < 1.0).all()
+
+
+def test_pipeline_sharded_matches_unsharded(small_season):
+    """The mesh-sharded cells axis must not change results (virtual 8-dev CPU)."""
+    import jax
+
+    from optimalinterpolation_tpu.parallel.mesh import cell_sharding, make_mesh
+
+    ds, truth, dates = small_season
+    cfg = DailyConfig(
+        window_days=9,
+        radius_km=600.0,
+        opt=OptimizeConfig(max_iters=10),
+        buckets=(256, 1024),
+        batch_multiple=8,
+        dtype="float64",
+    )
+    base = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
+    mesh = make_mesh()
+    assert mesh.size == 8, "conftest should provide 8 virtual CPU devices"
+    sharded = interpolate_daily(
+        ds, day=0, prior_mean=0.15, config=cfg, cell_sharding=cell_sharding(mesh)
+    )
+    np.testing.assert_allclose(
+        sharded.interp_smth, base.interp_smth, rtol=1e-6, atol=1e-8, equal_nan=True
+    )

@@ -1,0 +1,75 @@
+"""Native SVGP: ELBO sanity, convergence toward the exact GP, masking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimalinterpolation_tpu.models import exact_gp
+from optimalinterpolation_tpu.models.svgp import (
+    SVGPConfig,
+    svgp_fit,
+    svgp_init,
+    svgp_predict,
+)
+
+from . import oracle
+
+LOG_H = np.log(np.array([1.8e5, 1.8e5, 3.0, 0.03, 0.004]))
+X0 = np.log(np.array([25e3, 25e3, 1.0, 1.0, 0.1]))  # reference init
+
+
+def _cell(rng, n=200):
+    x = rng.uniform(-3e5, 3e5, size=(n, 3)) * np.asarray([1, 1, 1.2e-5])
+    k = oracle.matern32_gram(x, np.exp(LOG_H[:3]), np.exp(LOG_H[3]))
+    y = 0.15 + rng.multivariate_normal(np.zeros(n), k + np.exp(LOG_H[4]) * np.eye(n))
+    return x, y
+
+
+@pytest.mark.slow
+def test_svgp_approaches_exact_gp(rng):
+    x, y = _cell(rng)
+    n = len(y)
+    cfg = SVGPConfig(num_inducing=40, iterations=1500, batch_size=64)
+    params0 = svgp_init(jnp.asarray(x), jnp.ones(n), 40, jnp.asarray(X0), mean=0.15)
+    fit = svgp_fit(
+        params0, jnp.asarray(x), jnp.asarray(y), jnp.ones(n),
+        jax.random.key(0), cfg,
+    )
+    # ELBO increased substantially and is finite
+    el = np.asarray(fit.elbo_log)
+    assert np.isfinite(el[-1])
+    assert el[-1] > el[0] + 10
+
+    xstar = np.array([[0.0, 0.0, 4.0]])
+    sp = svgp_predict(fit.params, jnp.asarray(xstar))
+
+    # exact GP at the true hypers as ground truth
+    pe = exact_gp.predict(
+        jnp.asarray(LOG_H), jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(xstar), jnp.ones(n), 0.15,
+    )
+    # reference observed ~7 mm exact-vs-SVGP difference on its cell;
+    # allow similar slack here
+    assert abs(float(sp.mean[0]) - float(pe.mean[0])) < 0.03
+    assert float(sp.std[0]) > 0
+
+
+def test_svgp_mask_excludes_padding(rng):
+    x, y = _cell(rng, n=80)
+    xp = np.concatenate([x, np.zeros((48, 3))])
+    yp = np.concatenate([y, np.full(48, 99.0)])  # poison padding
+    mask = np.concatenate([np.ones(80), np.zeros(48)])
+    cfg = SVGPConfig(num_inducing=16, iterations=200, batch_size=32)
+    p0 = svgp_init(jnp.asarray(xp), jnp.asarray(mask), 16, jnp.asarray(X0), 0.15)
+    fit = svgp_fit(
+        p0, jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(mask),
+        jax.random.key(1), cfg,
+    )
+    sp = svgp_predict(fit.params, jnp.asarray([[0.0, 0.0, 4.0]]))
+    # poisoned padding (value 99) must not drag the prediction away
+    assert abs(float(sp.mean[0])) < 1.0
+
+    # inducing range must come from valid points only (padding sits at 0)
+    z = np.asarray(fit.params.z)
+    assert np.isfinite(z).all()
