@@ -34,6 +34,9 @@ def _add_daily_args(p):
     p.add_argument("--prior-mean", type=float, default=None,
                    help="constant prior mean; otherwise --fyi is used")
     p.add_argument("--fyi", default=None, help="CS2 FYI .npy for the prior")
+    p.add_argument("--fyi-offset", type=int, default=16,
+                   help="FYI product start relative to the season start "
+                        "(reference product: 16; synthetic/aligned: 0)")
     p.add_argument("--outdir", default=".")
     p.add_argument("--devices", type=int, default=None,
                    help="shard cells across this many devices")
@@ -75,7 +78,7 @@ def _prior(args, ds):
         from optimalinterpolation_tpu.data.prior import constant_fyi_prior
 
         fyi = np.load(args.fyi)
-        return lambda day: constant_fyi_prior(fyi, day)
+        return lambda day: constant_fyi_prior(fyi, day, offset=args.fyi_offset)
     raise SystemExit("provide --prior-mean or --fyi")
 
 

@@ -20,9 +20,19 @@ def constant_fyi_prior(fyi: np.ndarray, day: int, offset: int = 16, window: int 
     """Scalar prior: round(nanmean(fyi[:, :, day+offset : day+offset+window]), 3).
 
     ``offset`` aligns the FYI product's start date with the observation start
-    date (the reference's hardcoded ``day+16:day+25`` slice, GPR_CS2S3.py:212).
+    date (the reference's hardcoded ``day+16:day+25`` slice, GPR_CS2S3.py:212);
+    use ``offset=0`` for products aligned to the season start (e.g. the
+    synthetic season generator's FYI file).
     """
-    return float(np.round(np.nanmean(fyi[:, :, day + offset : day + offset + window]), 3))
+    sl = fyi[:, :, day + offset : day + offset + window]
+    if sl.size == 0 or not np.isfinite(sl).any():
+        raise ValueError(
+            f"FYI prior slice [{day + offset}:{day + offset + window}] is empty "
+            f"(product has {fyi.shape[2]} days); a NaN prior would silently NaN "
+            f"every cell. Check the offset (reference product: 16; "
+            f"season-aligned product: 0)."
+        )
+    return float(np.round(np.nanmean(sl), 3))
 
 
 def background_prior(

@@ -63,6 +63,13 @@ class DailyConfig:
     batch_multiple: int = 8
     dtype: str = "float32"
     jitter: float = 0.0
+    # HBM working-set budget for ONE chunk of cells. The NLL + its autodiff
+    # through Cholesky keeps ~MEM_BUFFERS live (N, N) matrices per cell;
+    # without chunking a populous bucket at N = 2048 would request tens of
+    # GB in one program and kill the TPU worker. Buckets are split into
+    # fixed-size chunks (last chunk padded, so each (chunk, N) shape compiles
+    # exactly once per bucket capacity).
+    max_chunk_bytes: float = 4e9
     # Smoothing (reference: std=2 at 25 km else 1, GPR_CS2S3.py:299-302;
     # clip vmaxes :303-307 — ell_t vmax is T, sf2 0.1, sn2 0.05, ell_xy 2*radius)
     smooth_std: Optional[float] = None
@@ -120,6 +127,39 @@ def _put(arr, sharding):
     return jax.device_put(arr, sharding) if sharding is not None else arr
 
 
+# Live (N, N) f32 buffers per cell inside jit of NLL-with-gradient: K, the
+# padded PSD matrix, its Cholesky, the Cholesky-VJP residual/cotangent pair,
+# plus XLA workspace. Empirically ~8; 10 leaves headroom.
+_MEM_BUFFERS = 10
+
+
+def _chunk_rows(capacity: int, batch_multiple: int, max_chunk_bytes: float, itemsize: int) -> int:
+    per_cell = _MEM_BUFFERS * capacity * capacity * itemsize
+    rows = max(1, int(max_chunk_bytes // per_cell))
+    return max(batch_multiple, (rows // batch_multiple) * batch_multiple)
+
+
+def _chunks_of(b: NeighborhoodBatch, chunk: int):
+    """Split a bucket into fixed-size chunks (last one padded to ``chunk``).
+
+    Every chunk has identical shapes, so each bucket capacity compiles the
+    optimize/predict programs exactly once regardless of the cell count.
+    """
+    total = len(b)
+    if total <= chunk:
+        yield b
+        return
+    for s in range(0, total, chunk):
+        e = min(s + chunk, total)
+        pad = chunk - (e - s)
+        sl = lambda a: np.concatenate([a[s:e], np.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a[s:e]  # noqa: E731
+        idx = np.concatenate([b.cell_index[s:e], np.full(pad, -1, np.int64)]) if pad else b.cell_index[s:e]
+        yield NeighborhoodBatch(
+            x=sl(b.x), z=sl(b.z), mask=sl(b.mask), xstar=sl(b.xstar),
+            cell_index=idx, n_valid_cells=max(0, min(b.n_valid_cells - s, e - s)),
+        )
+
+
 def interpolate_daily(
     ds: ObsDataset,
     day: int,
@@ -170,7 +210,9 @@ def interpolate_daily(
     # ---- pass 1: per-cell MLL optimization + prediction (GPR3D(opt=True)) --
     opt_cfg = dataclasses.replace(cfg.opt, kind=cfg.kind, jitter=cfg.jitter)
     pass1_hypers: list[np.ndarray] = []
-    for b in batches:
+    for full_b in batches:
+      chunk = _chunk_rows(full_b.capacity, cfg.batch_multiple, cfg.max_chunk_bytes, dtype.itemsize)
+      for b in _chunks_of(full_b, chunk):
         bx = _put(jnp.asarray(b.x), cell_sharding)
         bz = _put(jnp.asarray(b.z), cell_sharding)
         bm = _put(jnp.asarray(b.mask), cell_sharding)
@@ -217,7 +259,9 @@ def interpolate_daily(
     smth_at_cells = np.stack(
         [hypers_smth[name][active_ij] for name in HYPER_NAMES], axis=1
     )  # (M, 5) in linear space
-    for b in batches:
+    for full_b in batches:
+      chunk = _chunk_rows(full_b.capacity, cfg.batch_multiple, cfg.max_chunk_bytes, dtype.itemsize)
+      for b in _chunks_of(full_b, chunk):
         real = b.cell_index >= 0
         lh = np.zeros((len(b), 5), dtype=dtype)
         lh[real] = np.log(np.maximum(smth_at_cells[b.cell_index[real]], 1e-30))

@@ -19,10 +19,23 @@ from optimalinterpolation_tpu.pipeline.daily import DailyConfig, interpolate_dai
 def small_season(tmp_path_factory):
     outdir = str(tmp_path_factory.mktemp("season"))
     # 64x64 grid at 125 km keeps the test fast; 9-day window still applies.
+    # Sparse tracks keep neighborhoods small: the per-cell GP is O(n^3) and
+    # this fixture feeds a full two-pass optimize of every active cell on a
+    # CPU oracle backend in float64.
     truth, dates = make_synthetic_season(
-        outdir, grid_res_km=125, n_days=9, seed=3, noise_std=0.03
+        outdir, grid_res_km=125, n_days=9, seed=3, noise_std=0.03,
+        tracks_per_day=(5, 2, 4, 4),
     )
     ds = read_freeboard_season(outdir, 125, "2018-2019")
+    # Thin the active-cell set: optimize every 7th ice cell instead of all
+    # ~2k (the per-cell problems are independent; coverage of the bucketing
+    # logic does not need every cell).
+    sie = ds.sie.copy()
+    keep = np.zeros(sie.shape[:2], bool)
+    keep[::3, ::3] = True
+    ij = np.nonzero(~keep)
+    sie[ij[0], ij[1], :] = np.nan
+    ds.sie = sie
     return ds, truth, dates
 
 
@@ -30,9 +43,9 @@ def test_pipeline_end_to_end(small_season):
     ds, truth, dates = small_season
     cfg = DailyConfig(
         window_days=9,
-        radius_km=600.0,  # scaled for the coarse grid
-        opt=OptimizeConfig(max_iters=25),
-        buckets=(256, 512, 1024),
+        radius_km=450.0,  # scaled for the coarse grid
+        opt=OptimizeConfig(max_iters=15),
+        buckets=(128, 256, 512),
         dtype="float64",
     )
     res = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
@@ -77,9 +90,9 @@ def test_pipeline_sharded_matches_unsharded(small_season):
     ds, truth, dates = small_season
     cfg = DailyConfig(
         window_days=9,
-        radius_km=600.0,
-        opt=OptimizeConfig(max_iters=10),
-        buckets=(256, 1024),
+        radius_km=450.0,
+        opt=OptimizeConfig(max_iters=8),
+        buckets=(128, 512),
         batch_multiple=8,
         dtype="float64",
     )

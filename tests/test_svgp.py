@@ -28,10 +28,24 @@ def _cell(rng, n=200):
 
 @pytest.mark.slow
 def test_svgp_approaches_exact_gp(rng):
-    x, y = _cell(rng)
-    n = len(y)
-    cfg = SVGPConfig(num_inducing=40, iterations=1500, batch_size=64)
-    params0 = svgp_init(jnp.asarray(x), jnp.ones(n), 40, jnp.asarray(X0), mean=0.15)
+    """SVGP vs exact GP *at the SVGP's learned hyperparameters*.
+
+    Comparing against the exact GP at the TRUE hypers confounds two errors:
+    hyperparameter learning from n=200 points (poorly identified) and the
+    inducing-point approximation. The reference's own check (7 mm agreement,
+    sparseGP_example.ipynb cell-3 vs cell-5) used a dense real cell where
+    hypers are well identified. Here the sparse-approximation error is
+    isolated: same hypers, same mean -> sub-mm agreement on a field smooth
+    enough for 50 inducing points to represent.
+    """
+    log_h = np.log(np.array([4.0e5, 4.0e5, 6.0, 0.03, 0.004]))
+    n = 200
+    x = rng.uniform(-3e5, 3e5, size=(n, 3)) * np.asarray([1, 1, 1.2e-5])
+    k = oracle.matern32_gram(x, np.exp(log_h[:3]), np.exp(log_h[3]))
+    y = 0.15 + rng.multivariate_normal(np.zeros(n), k + np.exp(log_h[4]) * np.eye(n))
+
+    cfg = SVGPConfig(num_inducing=50, iterations=2000, batch_size=64, learning_rate=1e-2)
+    params0 = svgp_init(jnp.asarray(x), jnp.ones(n), 50, jnp.asarray(X0), mean=0.15)
     fit = svgp_fit(
         params0, jnp.asarray(x), jnp.asarray(y), jnp.ones(n),
         jax.random.key(0), cfg,
@@ -43,15 +57,12 @@ def test_svgp_approaches_exact_gp(rng):
 
     xstar = np.array([[0.0, 0.0, 4.0]])
     sp = svgp_predict(fit.params, jnp.asarray(xstar))
-
-    # exact GP at the true hypers as ground truth
     pe = exact_gp.predict(
-        jnp.asarray(LOG_H), jnp.asarray(x), jnp.asarray(y),
-        jnp.asarray(xstar), jnp.ones(n), 0.15,
+        fit.params.log_hypers, jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(xstar), jnp.ones(n), fit.params.mean,
     )
-    # reference observed ~7 mm exact-vs-SVGP difference on its cell;
-    # allow similar slack here
-    assert abs(float(sp.mean[0]) - float(pe.mean[0])) < 0.03
+    assert abs(float(sp.mean[0]) - float(pe.mean[0])) < 0.005
+    assert abs(float(sp.std[0]) - float(pe.std[0])) < 0.005
     assert float(sp.std[0]) > 0
 
 
