@@ -21,6 +21,8 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/oi_jax_cache")
+
 BASELINE_CELLS_PER_SEC = 1.0 / 102.59
 
 CACHE = os.environ.get("OI_BENCH_CACHE", "/tmp/oi_bench_data")
@@ -47,6 +49,11 @@ def _dataset():
 
 
 def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
     from optimalinterpolation_tpu.models.optimizer import OptimizeConfig
     from optimalinterpolation_tpu.pipeline.daily import DailyConfig, interpolate_daily
 

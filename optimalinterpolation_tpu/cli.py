@@ -14,9 +14,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the batched optimize/predict
+    programs compile once per bucket shape (~1-2 min each on the TPU); the
+    cache turns every later invocation into a sub-second load."""
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/oi_jax_cache")
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
 
 
 def _add_daily_args(p):
@@ -154,6 +167,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_synth)
 
     args = ap.parse_args(argv)
+    _enable_compilation_cache()
     return args.fn(args)
 
 

@@ -44,10 +44,19 @@ class OptimizeConfig:
     adam_lr: float = 0.2  # peak lr; cosine-decayed to 0 over max_iters
     jitter: float = 0.0
     kind: K.Kernel = K.Kernel.MATERN32
+    # NLL evaluation backend for the batched path:
+    #   "auto"   — fused Pallas kernel on TPU when the bucket size supports
+    #              it (ops.pallas_gp), XLA otherwise
+    #   "xla"    — vmapped jnp/lax implementation (models.exact_gp)
+    #   "pallas" — force the fused kernel (interpret mode off-TPU: slow,
+    #              test-only)
+    backend: str = "auto"
 
     def __post_init__(self):
         if self.method not in ("lbfgs", "adam"):
             raise ValueError(f"unknown method {self.method!r}")
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
 
 
 class OptimizeResult(NamedTuple):
@@ -249,7 +258,206 @@ def optimize_mll(
     return OptimizeResult(params, fn(params), iters, converged)
 
 
-@partial(jax.jit, static_argnames=("config",))
+def _resolve_backend(config: OptimizeConfig, n: int, dtype) -> str:
+    if config.backend != "auto":
+        return config.backend
+    from optimalinterpolation_tpu.ops import pallas_gp
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and pallas_gp.supported(n) and dtype == jnp.float32:
+        return "pallas"
+    return "xla"
+
+
+def _batched_fns(config: OptimizeConfig, backend: str, x, y, mask):
+    """(value_fn, value_and_grad_fn) mapping (B, 5) log-hypers -> (B,) / (B, 5)."""
+    if backend == "pallas":
+        from optimalinterpolation_tpu.ops import pallas_gp
+
+        interp = jax.default_backend() != "tpu"
+
+        def value_fn(h):
+            return pallas_gp.gp_nll(
+                h, x, y, mask, kind=config.kind, jitter=config.jitter,
+                interpret=interp,
+            )
+
+        def vg_fn(h):
+            return pallas_gp.gp_nll_and_grad(
+                h, x, y, mask, kind=config.kind, jitter=config.jitter,
+                interpret=interp,
+            )
+
+        return value_fn, vg_fn
+
+    scalar = lambda h, xi, yi, mi: exact_gp.neg_log_marginal_likelihood(  # noqa: E731
+        h, xi, yi, mi, kind=config.kind, jitter=config.jitter
+    )
+    value_fn = lambda h: jax.vmap(scalar)(h, x, y, mask)  # noqa: E731
+    vg_fn = lambda h: jax.vmap(jax.value_and_grad(scalar))(h, x, y, mask)  # noqa: E731
+    return value_fn, vg_fn
+
+
+def _optimize_lbfgs_batched(value_fn, vg_fn, h0, config: OptimizeConfig):
+    """Batched L-BFGS over (B, 5) parameters, lockstep with per-cell selects.
+
+    Semantically identical to vmapping :func:`_optimize_lbfgs` (vmap of a
+    while_loop IS lockstep-with-select), but expressed batched so the NLL
+    evaluations can go through the fused Pallas kernel, which handles its own
+    batching and cannot sit under vmap.
+    """
+    m = _LBFGS_HISTORY
+    dt = h0.dtype
+    b, nparam = h0.shape
+
+    def direction(grad, s_h, y_h, rho_h, n_st):
+        # s_h, y_h: (m, B, P); rho_h: (m, B); n_st: (B,)
+        q = grad
+        alphas = []
+        for k in range(m - 1, -1, -1):
+            valid = (k >= (m - n_st))[:, None]  # (B, 1)
+            a = rho_h[k][:, None] * jnp.sum(s_h[k] * q, axis=1, keepdims=True)
+            a = jnp.where(valid, a, 0.0)
+            q = q - a * y_h[k]
+            alphas.append((k, a))
+        sy = jnp.sum(s_h[m - 1] * y_h[m - 1], axis=1, keepdims=True)
+        yy = jnp.sum(y_h[m - 1] * y_h[m - 1], axis=1, keepdims=True)
+        gamma = jnp.where(
+            jnp.logical_and((n_st > 0)[:, None], yy > 0.0),
+            sy / jnp.maximum(yy, 1e-300),
+            1.0,
+        )
+        r = gamma * q
+        for k, a in reversed(alphas):
+            valid = (k >= (m - n_st))[:, None]
+            bb = rho_h[k][:, None] * jnp.sum(y_h[k] * r, axis=1, keepdims=True)
+            bb = jnp.where(valid, bb, 0.0)
+            r = r + (a - bb) * s_h[k]
+        return -r
+
+    def line_search(params, value, grad, d, live):
+        gd = jnp.sum(grad * d, axis=1)  # (B,)
+        dnorm = jnp.linalg.norm(d, axis=1)
+        t0 = jnp.minimum(jnp.asarray(1.0, dt), _MAX_STEP / jnp.maximum(dnorm, 1e-30))
+
+        def armijo(t, v):
+            return v <= value + _LS_C1 * t * gd
+
+        def cond(c):
+            t, v, tries = c
+            active = jnp.logical_and(live, jnp.logical_not(armijo(t, v)))
+            return jnp.any(jnp.logical_and(tries < _LS_MAX_STEPS, active))
+
+        def body(c):
+            t, v, tries = c
+            active = jnp.logical_and(
+                jnp.logical_and(tries < _LS_MAX_STEPS, live),
+                jnp.logical_not(armijo(t, v)),
+            )
+            t2 = jnp.where(active, t * 0.5, t)
+            v2 = value_fn(params + t2[:, None] * d)
+            v = jnp.where(active, v2, v)
+            return t2, v, tries + active.astype(tries.dtype)
+
+        v0 = value_fn(params + t0[:, None] * d)
+        t, new_v, _ = jax.lax.while_loop(
+            cond, body, (t0, v0, jnp.zeros((b,), jnp.int32))
+        )
+        ok = armijo(t, new_v)
+        return t, new_v, ok
+
+    def cond(carry):
+        *_, it, gnorm, stop = carry
+        live = jnp.logical_and(gnorm > config.grad_tol, jnp.logical_not(stop))
+        return jnp.logical_and(it < config.max_iters, jnp.any(live))
+
+    def body(carry):
+        params, value, grad, s_h, y_h, rho_h, n_st, it, gnorm, stop = carry
+        live = jnp.logical_and(gnorm > config.grad_tol, jnp.logical_not(stop))
+        d = direction(grad, s_h, y_h, rho_h, n_st)
+        descent = (jnp.sum(grad * d, axis=1) < 0.0)[:, None]
+        d = jnp.where(descent, d, -grad)
+
+        t, new_v, ls_ok = line_search(params, value, grad, d, live)
+        new_p = params + t[:, None] * d
+        _, new_g = vg_fn(new_p)
+        g_ok = jnp.all(jnp.isfinite(new_g), axis=1)
+        accept = jnp.logical_and(jnp.logical_and(ls_ok, g_ok), live)
+
+        s = new_p - params
+        yv = new_g - grad
+        sy = jnp.sum(s * yv, axis=1)
+        keep = jnp.logical_and(accept, sy > 1e-30)[:, None]  # (B, 1)
+        s_h2 = jnp.concatenate([s_h[1:], s[None]], axis=0)
+        y_h2 = jnp.concatenate([y_h[1:], yv[None]], axis=0)
+        rho2 = jnp.concatenate(
+            [rho_h[1:], (1.0 / jnp.maximum(sy, 1e-300))[None]], axis=0
+        )
+        s_h = jnp.where(keep[None], s_h2, s_h)
+        y_h = jnp.where(keep[None], y_h2, y_h)
+        rho_h = jnp.where(keep[None, :, 0], rho2, rho_h)
+        n_st = jnp.where(keep[:, 0], jnp.minimum(n_st + 1, m), n_st)
+
+        acc2 = accept[:, None]
+        params = jnp.where(acc2, new_p, params)
+        value = jnp.where(accept, new_v, value)
+        grad = jnp.where(acc2, new_g, grad)
+        gnorm = jnp.where(live, jnp.linalg.norm(grad, axis=1), gnorm)
+        stop = jnp.where(live, jnp.logical_not(accept), stop)
+        return params, value, grad, s_h, y_h, rho_h, n_st, it + 1, gnorm, stop
+
+    v0, g0 = vg_fn(h0)
+    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+    init = (
+        h0,
+        v0,
+        g0,
+        jnp.zeros((m, b, nparam), dt),
+        jnp.zeros((m, b, nparam), dt),
+        jnp.zeros((m, b), dt),
+        jnp.zeros((b,), jnp.int32),
+        jnp.asarray(0),
+        jnp.linalg.norm(g0, axis=1),
+        jnp.logical_not(jnp.isfinite(v0)),
+    )
+    params, value, grad, *_, iters, gnorm, _stop = jax.lax.while_loop(cond, body, init)
+    its = jnp.full((b,), iters)
+    return params, value, its, gnorm <= config.grad_tol
+
+
+def _optimize_adam_batched(vg_fn, h0, config: OptimizeConfig):
+    opt = optax.adam(optax.cosine_decay_schedule(config.adam_lr, config.max_iters))
+
+    def body(carry, _):
+        params, state = carry
+        value, grad = vg_fn(params)
+        grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+        updates, state = opt.update(grad, state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, state), jnp.linalg.norm(grad, axis=1)
+
+    (params, _), gnorms = jax.lax.scan(
+        body, (h0, opt.init(h0)), None, length=config.max_iters
+    )
+    b = h0.shape[0]
+    its = jnp.full((b,), config.max_iters)
+    return params, None, its, gnorms[-1] <= config.grad_tol
+
+
+@partial(jax.jit, static_argnames=("config", "backend"))
+def _optimize_mll_batch_impl(log_hypers0, x, y, mask, config, backend):
+    value_fn, vg_fn = _batched_fns(config, backend, x, y, mask)
+    if config.method == "lbfgs":
+        params, value, iters, converged = _optimize_lbfgs_batched(
+            value_fn, vg_fn, log_hypers0, config
+        )
+    else:
+        params, value, iters, converged = _optimize_adam_batched(
+            vg_fn, log_hypers0, config
+        )
+    return OptimizeResult(params, value_fn(params), iters, converged)
+
+
 def optimize_mll_batch(
     log_hypers0: jax.Array,  # (B, 5)
     x: jax.Array,  # (B, N, d)
@@ -257,12 +465,14 @@ def optimize_mll_batch(
     mask: jax.Array,  # (B, N)
     config: OptimizeConfig = OptimizeConfig(),
 ) -> OptimizeResult:
-    """vmap of :func:`optimize_mll` over a bucket of cells.
+    """Batched MLL optimization over a bucket of cells.
 
     This is the TPU replacement for the reference's MPI task farm
     (``GPR_CS2S3.py:248-262``): all cells in the bucket advance one L-BFGS
-    iteration per step as one batched kernel-build + batched Cholesky.
+    iteration per step as one batched kernel-build + batched Cholesky —
+    through the fused Pallas kernel on TPU (``backend="auto"``), or through
+    the vmapped XLA NLL otherwise. The two backends agree to f32 rounding
+    (the Pallas kernel is validated to ~1e-13 against the XLA path in f64).
     """
-    return jax.vmap(lambda h0, xi, yi, mi: optimize_mll(h0, xi, yi, mi, config))(
-        log_hypers0, x, y, mask
-    )
+    backend = _resolve_backend(config, x.shape[1], x.dtype)
+    return _optimize_mll_batch_impl(log_hypers0, x, y, mask, config, backend)
