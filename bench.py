@@ -28,7 +28,11 @@ BASELINE_CELLS_PER_SEC = 1.0 / 102.59
 CACHE = os.environ.get("OI_BENCH_CACHE", "/tmp/oi_bench_data")
 GRID_RES_KM = 25
 N_DAYS = 9
-SCALE = float(os.environ.get("OI_BENCH_SCALE", "1.0"))  # fraction of cells
+# Fraction of active cells to optimize. The default subsamples the ~20k-cell
+# pan-Arctic day to a representative ~2.4k-cell set (every bucket size is
+# populated; per-cell cost is identical), keeping the bench run to minutes.
+# OI_BENCH_SCALE=1.0 runs the full day.
+SCALE = float(os.environ.get("OI_BENCH_SCALE", "0.12"))
 
 
 def _dataset():

@@ -23,13 +23,8 @@ __all__ = ["predict_batch"]
 
 
 @partial(jax.jit, static_argnames=("kind",))
-def predict_batch(
-    log_hypers: jax.Array,  # (B, 5)
-    x: jax.Array,  # (B, N, 3)
-    y: jax.Array,  # (B, N) raw observations (uncentered)
-    xstar: jax.Array,  # (B, 3)
-    mask: jax.Array,  # (B, N)
-    mean: jax.Array,  # (B,) per-cell prior mean
+def _predict_batch_xla(
+    log_hypers, x, y, xstar, mask, mean,
     kind: K.Kernel = K.Kernel.MATERN32,
     jitter: float = 0.0,
 ) -> exact_gp.PredictResult:
@@ -40,3 +35,40 @@ def predict_batch(
         )
 
     return jax.vmap(one)(log_hypers, x, y, xstar, mask, mean)
+
+
+def predict_batch(
+    log_hypers: jax.Array,  # (B, 5)
+    x: jax.Array,  # (B, N, 3)
+    y: jax.Array,  # (B, N) raw observations (uncentered)
+    xstar: jax.Array,  # (B, 3)
+    mask: jax.Array,  # (B, N)
+    mean: jax.Array,  # (B,) per-cell prior mean
+    kind: K.Kernel = K.Kernel.MATERN32,
+    jitter: float = 0.0,
+    backend: str = "auto",
+) -> exact_gp.PredictResult:
+    """Batched posterior predict; fused Pallas kernel on TPU when the bucket
+    size supports it (``ops.pallas_gp.gp_predict``), vmapped XLA otherwise.
+    """
+    from optimalinterpolation_tpu.ops import pallas_gp
+
+    n = x.shape[1]
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and pallas_gp.supported(n)
+            and x.dtype == jnp.float32
+            else "xla"
+        )
+    if backend == "pallas":
+        interp = jax.default_backend() != "tpu"
+        m, s, lz, ps, ok = pallas_gp.gp_predict(
+            log_hypers, x, y, xstar, mask, mean,
+            kind=kind, jitter=jitter, interpret=interp,
+        )
+        return exact_gp.PredictResult(mean=m, std=s, lZ=lz, prior_std=ps, ok=ok)
+    return _predict_batch_xla(
+        log_hypers, x, y, xstar, mask, mean, kind=kind, jitter=jitter
+    )

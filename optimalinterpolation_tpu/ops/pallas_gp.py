@@ -590,3 +590,274 @@ def gp_nll_and_grad(
         log_hypers, x, y, mask, kind=kind, jitter=jitter,
         with_grad=True, interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused posterior predict (the GPR3D predict block, GPR_CS2S3.py:173-184)
+# ---------------------------------------------------------------------------
+
+
+def _predict_kernel(
+    logh_ref,  # (TB, 1, 8): [log ell x3, log sf2, log sn2, 0, 0, 0]
+    x8_ref,  # (TB, N, 8): [x, y, t, mask, 0...] (sublane-oriented)
+    xt_ref,  # (TB, 4, N): [x; y; t; mask]      (lane-oriented)
+    y_ref,  # (TB, 1, N) RAW (uncentered) observations
+    xs_ref,  # (TB, 1, 8): [xs_x, xs_y, xs_t, prior_mean, 0...]
+    out_ref,  # (TB, 1, 8): [mean, std, lZ, prior_std, ok, 0, 0, 0]
+    a_scr,  # (TB, N, N)
+    w_scr,  # (TB, N, BLK)
+    v_scr,  # (TB, VROWS, BLK): z = L^-1 (y - mean) m
+    u_scr,  # (TB, VROWS, BLK): v = L^-1 ks
+    d_scr,  # (TB, BLK, BLK)
+    wb_scr,  # (TB, BLK, BLK)
+    *,
+    n: int,
+    kind: Kernel,
+    jitter: float,
+):
+    """Posterior mean/std/lZ at one test point per cell, fully fused.
+
+    mean* = m + ks^T A^-1 (y - m)  = m + (L^-1 ks) . (L^-1 ym)   (no L^-T
+    solve needed), var* = sf2 - |L^-1 ks|^2, lZ = -(quad/2 + logdet +
+    n/2 log 2pi) — exactly ``GPR3D``'s predict block on the padded problem.
+    """
+    dtype = a_scr.dtype
+    tb = a_scr.shape[0]
+    nb = n // BLK
+    inv_ell = [jnp.exp(-logh_ref[:, :, d : d + 1]) for d in range(3)]
+    sf2 = jnp.exp(logh_ref[:, :, 3:4])
+    sn2 = jnp.exp(logh_ref[:, :, 4:5])
+    mean = xs_ref[:, :, 3:4]  # (TB, 1, 1)
+
+    diag_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, BLK, BLK), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (1, BLK, BLK), 2)
+    )
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+
+    def qi_cols(i0):
+        xi = x8_ref[:, pl.ds(i0, BLK), :]
+        return (
+            xi[:, :, 0:1] * inv_ell[0],
+            xi[:, :, 1:2] * inv_ell[1],
+            xi[:, :, 2:3] * inv_ell[2],
+            xi[:, :, 3:4],
+        )
+
+    def qj_rows(j0):
+        xj = xt_ref[:, :, pl.ds(j0, BLK)]
+        return (
+            xj[:, 0:1, :] * inv_ell[0],
+            xj[:, 1:2, :] * inv_ell[1],
+            xj[:, 2:3, :] * inv_ell[2],
+            xj[:, 3:4, :],
+        )
+
+    # ---- build A ---------------------------------------------------------
+    def build_row(ib, _):
+        i0 = ib * BLK
+        ai = qi_cols(i0)
+
+        def build_col(jb, _):
+            j0 = jb * BLK
+            aj = qj_rows(j0)
+            d2 = (ai[0] - aj[0]) ** 2 + (ai[1] - aj[1]) ** 2 + (ai[2] - aj[2]) ** 2
+            a_scr[:, pl.ds(i0, BLK), pl.ds(j0, BLK)] = (
+                sf2 * _shape_fn(kind, d2) * ai[3] * aj[3]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nb, build_col, 0)
+        mi = ai[3]
+        blk = a_scr[:, pl.ds(i0, BLK), pl.ds(i0, BLK)]
+        dval = (sf2 + sn2 + jitter * sf2) * mi + (one - mi)
+        a_scr[:, pl.ds(i0, BLK), pl.ds(i0, BLK)] = jnp.where(
+            diag_ids, dval * jnp.ones((1, 1, BLK), dtype), blk
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nb, build_row, 0)
+
+    # ---- blocked Cholesky (same scheme as the NLL kernel) -----------------
+    def chol_step(kb, carry):
+        logdet, okall = carry
+        k0 = kb * BLK
+        d_scr[...] = a_scr[:, pl.ds(k0, BLK), pl.ds(k0, BLK)]
+        wb_scr[...] = jnp.broadcast_to(jnp.eye(BLK, dtype=dtype)[None], (tb, BLK, BLK))
+        ld, ok = _factor_invert_inplace(d_scr, wb_scr, dtype)
+        a_scr[:, pl.ds(k0, BLK), pl.ds(k0, BLK)] = d_scr[...]
+        w_scr[:, pl.ds(k0, BLK), :] = wb_scr[...]
+
+        def panel(ib, _):
+            i0 = ib * BLK
+
+            @pl.when(ib > kb)
+            def _():
+                l = _bmm(a_scr[:, pl.ds(i0, BLK), pl.ds(k0, BLK)], wb_scr[...], tb=True)
+                a_scr[:, pl.ds(i0, BLK), pl.ds(k0, BLK)] = l
+
+                def trail(jb, _):
+                    j0 = jb * BLK
+
+                    @pl.when(jnp.logical_and(jb > kb, jb <= ib))
+                    def _():
+                        lj = a_scr[:, pl.ds(j0, BLK), pl.ds(k0, BLK)]
+                        blk = a_scr[:, pl.ds(i0, BLK), pl.ds(j0, BLK)]
+                        a_scr[:, pl.ds(i0, BLK), pl.ds(j0, BLK)] = blk - _bmm(
+                            l, lj, tb=True
+                        )
+
+                    return 0
+
+                jax.lax.fori_loop(0, nb, trail, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, nb, panel, 0)
+        return logdet + ld, okall * ok
+
+    logdet, okall = jax.lax.fori_loop(
+        0, nb, chol_step,
+        (jnp.zeros((tb, 1, 1), dtype), jnp.ones((tb, 1, 1), dtype)),
+    )
+
+    # ---- dual forward solve: z = L^-1 ym, v = L^-1 ks ---------------------
+    v_scr[...] = jnp.zeros(v_scr.shape, dtype)
+    u_scr[...] = jnp.zeros(u_scr.shape, dtype)
+
+    def rhs_rows(i0):
+        mv = xt_ref[:, 3:4, pl.ds(i0, BLK)]
+        ym = (y_ref[:, :, pl.ds(i0, BLK)] - mean) * mv  # (TB, 1, BLK)
+        aj = qj_rows(i0)
+        d2s = (
+            (aj[0] - xs_ref[:, :, 0:1] * inv_ell[0]) ** 2
+            + (aj[1] - xs_ref[:, :, 1:2] * inv_ell[1]) ** 2
+            + (aj[2] - xs_ref[:, :, 2:3] * inv_ell[2]) ** 2
+        )
+        ks = sf2 * _shape_fn(kind, d2s) * mv  # (TB, 1, BLK)
+        return jnp.concatenate([ym, ks], axis=1)  # (TB, 2, BLK)
+
+    def fwd_step(ib, _):
+        i0 = ib * BLK
+
+        def gather(kb, acc):
+            l_ik = a_scr[:, pl.ds(i0, BLK), pl.ds(kb * BLK, BLK)]
+            prev = jnp.concatenate(
+                [v_scr[:, pl.ds(kb, 1), :], u_scr[:, pl.ds(kb, 1), :]], axis=1
+            )  # (TB, 2, BLK)
+            sel = jnp.where(kb < ib, one, zero)
+            return acc - sel * _bmm(prev, l_ik, tb=True)
+
+        acc = jax.lax.fori_loop(0, nb, gather, rhs_rows(i0))
+        w = w_scr[:, pl.ds(i0, BLK), :]
+        res = _bmm(acc, w, tb=True)  # (TB, 2, BLK)
+        v_scr[:, pl.ds(ib, 1), :] = res[:, 0:1, :]
+        u_scr[:, pl.ds(ib, 1), :] = res[:, 1:2, :]
+        return 0
+
+    jax.lax.fori_loop(0, nb, fwd_step, 0)
+
+    z = v_scr[:, pl.ds(0, nb), :]
+    v = u_scr[:, pl.ds(0, nb), :]
+    quad = _red(z * z)
+    zv = _red(z * v)
+    vv = _red(v * v)
+    n_valid = _red(xt_ref[:, 3:4, :])
+
+    fs = mean + zv
+    var = jnp.maximum(sf2 - vv, 0.0)
+    std = jnp.sqrt(var)
+    lz = -(0.5 * quad + logdet + 0.5 * n_valid * _LOG2PI)
+    prior_std = jnp.sqrt(sf2)
+
+    ok = okall > 0.5
+    nanv = jnp.asarray(jnp.nan, dtype)
+    out = jnp.concatenate(
+        [
+            jnp.where(ok, fs, nanv),
+            jnp.where(ok, std, nanv),
+            jnp.where(ok, lz, nanv),
+            prior_std,
+            okall,
+            jnp.zeros((tb, 1, 3), dtype),
+        ],
+        axis=2,
+    )
+    out_ref[...] = out
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "jitter", "interpret"))
+def gp_predict(
+    log_hypers: jax.Array,  # (B, 5)
+    x: jax.Array,  # (B, N, 3)
+    y: jax.Array,  # (B, N) raw observations
+    xstar: jax.Array,  # (B, 3)
+    mask: jax.Array,  # (B, N)
+    mean: jax.Array,  # (B,) per-cell prior mean
+    kind: Kernel = Kernel.MATERN32,
+    jitter: float = 0.0,
+    interpret: bool = False,
+):
+    """Fused posterior predict; returns (mean, std, lZ, prior_std, ok).
+
+    Parity target: the ``GPR3D`` predict block (``GPR_CS2S3.py:173-184``),
+    i.e. :func:`optimalinterpolation_tpu.models.exact_gp.predict` with a
+    single test point per cell.
+    """
+    b, n, _ = x.shape
+    if not supported(n):
+        raise ValueError(f"pallas GP kernel needs N in [128, 1024] /128, got {n}")
+    dtype = x.dtype
+    nb = n // BLK
+    vrows = max(nb, 8)
+    tb = cell_tile(n, False)
+    bp = -(-b // tb) * tb
+
+    def padb(arr):
+        if bp == b:
+            return arr
+        pad = jnp.zeros((bp - b,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, pad], axis=0)
+
+    xp = padb(x)
+    maskp = padb(mask.astype(dtype))
+    x8 = jnp.concatenate(
+        [xp, maskp[:, :, None], jnp.zeros((bp, n, 4), dtype)], axis=2
+    )
+    xt = jnp.concatenate([jnp.swapaxes(xp, 1, 2), maskp[:, None, :]], axis=1)
+    logh8 = padb(jnp.concatenate([log_hypers, jnp.zeros((b, 3), dtype)], axis=1))[
+        :, None, :
+    ]
+    y3 = padb(y)[:, None, :]
+    xs8 = padb(
+        jnp.concatenate(
+            [xstar, mean[:, None].astype(dtype), jnp.zeros((b, 4), dtype)], axis=1
+        )
+    )[:, None, :]
+
+    kernel = functools.partial(_predict_kernel, n=n, kind=Kernel(kind), jitter=jitter)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 4, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, 1, 8), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tb, n, n), dtype),
+            pltpu.VMEM((tb, n, BLK), dtype),
+            pltpu.VMEM((tb, vrows, BLK), dtype),
+            pltpu.VMEM((tb, vrows, BLK), dtype),
+            pltpu.VMEM((tb, BLK, BLK), dtype),
+            pltpu.VMEM((tb, BLK, BLK), dtype),
+        ],
+        interpret=interpret,
+    )(logh8, x8, xt, y3, xs8)
+    o = out[:b, 0, :]
+    return o[:, 0], o[:, 1], o[:, 2], o[:, 3], o[:, 4] > 0.5

@@ -90,3 +90,24 @@ def test_optimizer_pallas_backend_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(rp.log_hypers), np.asarray(rx.log_hypers), atol=1e-5
     )
+
+
+def test_fused_predict_matches_xla(rng):
+    """gp_predict (fused) == exact_gp.predict (vmapped XLA) in f64 interpret."""
+    from optimalinterpolation_tpu.models.exact_gp_batch import _predict_batch_xla
+    from optimalinterpolation_tpu.ops.pallas_gp import gp_predict
+
+    h, x, y, mask = _problem(rng, b=3)
+    xs = jnp.asarray(
+        np.random.default_rng(5).uniform(-1e5, 1e5, (3, 3)) * np.asarray([1, 1, 0])
+        + np.asarray([0.0, 0.0, 4.0])
+    )
+    mean = jnp.full((3,), 0.15)
+    m_, s_, lz_, ps_, ok_ = gp_predict(
+        h, x, y, xs, mask, mean, jitter=1e-6, interpret=True
+    )
+    r = _predict_batch_xla(h, x, y, xs, mask, mean, jitter=1e-6)
+    np.testing.assert_allclose(np.asarray(m_), np.asarray(r.mean), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_), np.asarray(r.std), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lz_), np.asarray(r.lZ), rtol=1e-12)
+    assert np.asarray(ok_).all()
