@@ -55,13 +55,22 @@ def predict_batch(
 
     n = x.shape[1]
     if backend == "auto":
-        backend = (
-            "pallas"
-            if jax.default_backend() == "tpu"
-            and pallas_gp.supported(n)
-            and x.dtype == jnp.float32
-            else "xla"
+        if jax.default_backend() == "tpu" and x.dtype == jnp.float32:
+            if pallas_gp.supported(n):
+                backend = "pallas"
+            elif n % 128 == 0:
+                backend = "blocked"
+            else:
+                backend = "xla"
+        else:
+            backend = "xla"
+    if backend == "blocked":
+        from optimalinterpolation_tpu.ops import blocked_gp
+
+        m, s, lz, ps, ok = blocked_gp.gp_predict_blocked(
+            log_hypers, x, y, xstar, mask, mean, kind=kind, jitter=jitter
         )
+        return exact_gp.PredictResult(mean=m, std=s, lZ=lz, prior_std=ps, ok=ok)
     if backend == "pallas":
         interp = jax.default_backend() != "tpu"
         m, s, lz, ps, ok = pallas_gp.gp_predict(

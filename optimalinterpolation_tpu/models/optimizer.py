@@ -45,17 +45,18 @@ class OptimizeConfig:
     jitter: float = 0.0
     kind: K.Kernel = K.Kernel.MATERN32
     # NLL evaluation backend for the batched path:
-    #   "auto"   — fused Pallas kernel on TPU when the bucket size supports
-    #              it (ops.pallas_gp), XLA otherwise
-    #   "xla"    — vmapped jnp/lax implementation (models.exact_gp)
-    #   "pallas" — force the fused kernel (interpret mode off-TPU: slow,
-    #              test-only)
+    #   "auto"    — on TPU: fused Pallas kernel for N <= 1024, block-tensor
+    #               einsum path (ops.blocked_gp) for larger buckets; XLA
+    #               elsewhere
+    #   "xla"     — vmapped jnp/lax implementation (models.exact_gp)
+    #   "pallas"  — force the fused kernel (interpret mode off-TPU: test-only)
+    #   "blocked" — force the block-tensor path
     backend: str = "auto"
 
     def __post_init__(self):
         if self.method not in ("lbfgs", "adam"):
             raise ValueError(f"unknown method {self.method!r}")
-        if self.backend not in ("auto", "xla", "pallas"):
+        if self.backend not in ("auto", "xla", "pallas", "blocked"):
             raise ValueError(f"unknown backend {self.backend!r}")
 
 
@@ -264,8 +265,11 @@ def _resolve_backend(config: OptimizeConfig, n: int, dtype) -> str:
     from optimalinterpolation_tpu.ops import pallas_gp
 
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and pallas_gp.supported(n) and dtype == jnp.float32:
-        return "pallas"
+    if on_tpu and dtype == jnp.float32:
+        if pallas_gp.supported(n):
+            return "pallas"
+        if n % 128 == 0:
+            return "blocked"
     return "xla"
 
 
@@ -286,6 +290,21 @@ def _batched_fns(config: OptimizeConfig, backend: str, x, y, mask):
             return pallas_gp.gp_nll_and_grad(
                 h, x, y, mask, kind=config.kind, jitter=config.jitter,
                 interpret=interp,
+            )
+
+        return value_fn, vg_fn
+
+    if backend == "blocked":
+        from optimalinterpolation_tpu.ops import blocked_gp
+
+        def value_fn(h):
+            return blocked_gp.gp_nll_blocked(
+                h, x, y, mask, kind=config.kind, jitter=config.jitter
+            )
+
+        def vg_fn(h):
+            return blocked_gp.gp_nll_and_grad_blocked(
+                h, x, y, mask, kind=config.kind, jitter=config.jitter
             )
 
         return value_fn, vg_fn

@@ -1,0 +1,324 @@
+"""Blocked exact-GP NLL/gradient/predict for large neighborhoods (N > 1024).
+
+The fully fused Pallas kernel (ops/pallas_gp.py) keeps per-cell (N, N)
+matrices VMEM-resident, which caps it at N = 1024 on a 16 MB-VMEM chip. This
+module covers the 2048/4096 buckets with a hybrid: the covariance is held as
+a block tensor (B, nb, nb, 128, 128) in HBM, every O(N^3) operation (panel
+TRSMs, trailing SYRKs, the L^-1 build, K^-1 accumulation) is an XLA einsum —
+large, static, MXU-shaped matmuls XLA schedules and stages well — and the
+only sequential piece, the 128x128 diagonal factorization + inverse, runs
+through a small Pallas call that reuses the fused kernel's vectorized
+unrolled factor loop.
+
+Rationale (measured on v5e): XLA's native batched ``cholesky`` runs at
+~100 GFLOP/s — its internal panel code dominates. Expressed this way the
+N^3 work rides the MXU at multi-TFLOP/s and only O(N * 128^2) work remains
+sequential.
+
+Math and conventions are identical to the reference ``SMLII``/``GPR3D``
+(``/root/reference/2021_paper_production/GPR_CS2S3.py:107-191``) and to
+models.exact_gp / ops.pallas_gp:
+
+  A = K o mm^T + diag(sf2+sn2+jitter | 1-m),  A = L L^T
+  nll      = |L^-1 ym|^2 / 2 + sum log diag L + n/2 log 2pi
+  d nll/dθ = 0.5 <A^-1 - alpha alpha^T, dA/dθ>
+  predict: fs = m + (L^-1 ks).(L^-1 ym), var = sf2 - |L^-1 ks|^2
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from optimalinterpolation_tpu.ops import kernels as K
+from optimalinterpolation_tpu.ops import pallas_gp
+from optimalinterpolation_tpu.ops.kernels import Kernel
+
+__all__ = ["gp_nll_blocked", "gp_nll_and_grad_blocked", "gp_predict_blocked"]
+
+BLK = 128
+_LOG2PI = 1.8378770664093453
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _ein(spec, *ops):
+    return jnp.einsum(spec, *ops, precision=_HI)
+
+
+# ---------------------------------------------------------------------------
+# 128x128 diagonal factor + inverse: Pallas on TPU, LAPACK-style elsewhere
+# ---------------------------------------------------------------------------
+
+
+def _factor_kernel(d_ref, u_ref, w_ref, aux_ref, d_scr, wb_scr):
+    dtype = d_scr.dtype
+    tb = d_scr.shape[0]
+    d_scr[...] = d_ref[...]
+    wb_scr[...] = jnp.broadcast_to(jnp.eye(BLK, dtype=dtype)[None], (tb, BLK, BLK))
+    logdet, ok = pallas_gp._factor_invert_inplace(d_scr, wb_scr, dtype)
+    u_ref[...] = d_scr[...]
+    w_ref[...] = wb_scr[...]
+    aux_ref[...] = jnp.concatenate(
+        [logdet, ok, jnp.zeros((tb, 1, 126), dtype)], axis=2
+    )
+
+
+@jax.jit
+def _factor_invert_pallas(d: jax.Array):
+    """(B, 128, 128) PSD blocks -> (L^T, L^-1, logdet (B,), ok (B,))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = d.shape[0]
+    tb = 8
+    bp = -(-b // tb) * tb
+    if bp != b:
+        pad = jnp.broadcast_to(jnp.eye(BLK, dtype=d.dtype)[None], (bp - b, BLK, BLK))
+        d = jnp.concatenate([d, pad], axis=0)
+    u, w, aux = pl.pallas_call(
+        _factor_kernel,
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, BLK, BLK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, BLK, BLK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, BLK, BLK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1, BLK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, BLK, BLK), d.dtype),
+            jax.ShapeDtypeStruct((bp, BLK, BLK), d.dtype),
+            jax.ShapeDtypeStruct((bp, 1, BLK), d.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tb, BLK, BLK), d.dtype),
+            pltpu.VMEM((tb, BLK, BLK), d.dtype),
+        ],
+    )(d)
+    lt = u[:b]
+    return (
+        jnp.swapaxes(lt, 1, 2),  # L
+        w[:b],
+        aux[:b, 0, 0],
+        aux[:b, 0, 1] > 0.5,
+    )
+
+
+def _factor_invert_xla(d: jax.Array):
+    l = jnp.linalg.cholesky(d)
+    diag = jnp.diagonal(l, axis1=1, axis2=2)
+    ok = jnp.all(jnp.isfinite(diag), axis=1)
+    eye = jnp.broadcast_to(jnp.eye(BLK, dtype=d.dtype)[None], d.shape)
+    lsafe = jnp.where(jnp.isfinite(l), l, eye)
+    w = jax.scipy.linalg.solve_triangular(lsafe, eye, lower=True)
+    logdet = jnp.sum(jnp.log(jnp.where(ok[:, None], jnp.abs(diag) + 1e-300, 1.0)), axis=1)
+    return jnp.where(ok[:, None, None], lsafe, eye), w, logdet, ok
+
+
+def _factor_invert(d):
+    if jax.default_backend() == "tpu":
+        return _factor_invert_pallas(d)
+    return _factor_invert_xla(d)
+
+
+# ---------------------------------------------------------------------------
+# Block-tensor Cholesky + solves
+# ---------------------------------------------------------------------------
+
+
+def _to_blocks(a: jax.Array) -> jax.Array:
+    b, n, _ = a.shape
+    nb = n // BLK
+    return a.reshape(b, nb, BLK, nb, BLK).transpose(0, 1, 3, 2, 4)
+
+
+def _build_a(log_hypers, x, mask, kind, jitter):
+    ell = jnp.exp(log_hypers[:, :3])  # (B, 3)
+    sf2 = jnp.exp(log_hypers[:, 3])
+    sn2 = jnp.exp(log_hypers[:, 4])
+    kx = jax.vmap(lambda xi, ei, si, mi: K.kernel_matrix(xi, ei, si, kind=kind, mask=mi))(
+        x, ell, sf2, mask
+    )
+    m = mask.astype(x.dtype)
+    diag = (sn2[:, None] + jitter * sf2[:, None]) * m + (1.0 - m)
+    n = x.shape[1]
+    a = kx + diag[:, :, None] * jnp.eye(n, dtype=x.dtype)[None]
+    return a, sf2, sn2
+
+
+def _blocked_chol(ab):
+    """ab: (B, nb, nb, BLK, BLK) full symmetric block tensor.
+
+    Returns (l, w, logdet, ok): l lower-block-triangular (diag blocks are
+    lower-triangular L_kk), w (B, nb, BLK, BLK) = L_kk^-1.
+    """
+    b, nb = ab.shape[0], ab.shape[1]
+    dtype = ab.dtype
+    w = jnp.zeros((b, nb, BLK, BLK), dtype)
+    logdet = jnp.zeros((b,), dtype)
+    ok = jnp.ones((b,), bool)
+    a = ab
+    for kb in range(nb):
+        lkk, wkk, ld, okk = _factor_invert(a[:, kb, kb])
+        logdet = logdet + ld
+        ok = jnp.logical_and(ok, okk)
+        w = w.at[:, kb].set(wkk)
+        a = a.at[:, kb, kb].set(lkk)
+        if kb + 1 < nb:
+            pan = a[:, kb + 1 :, kb]  # (B, r, BLK, BLK)
+            lpan = _ein("brxy,bzy->brxz", pan, wkk)  # A W^T
+            a = a.at[:, kb + 1 :, kb].set(lpan)
+            upd = _ein("brxy,bszy->brsxz", lpan, lpan)
+            a = a.at[:, kb + 1 :, kb + 1 :].add(-upd)
+    return a, w, logdet, ok
+
+
+def _fwd_solve(l, w, rhs):
+    """z = L^-1 rhs with rhs (B, nb, BLK, R); returns same shape."""
+    nb = l.shape[1]
+    z = jnp.zeros_like(rhs)
+    for ib in range(nb):
+        acc = rhs[:, ib]
+        if ib > 0:
+            acc = acc - _ein("bkxy,bkyr->bxr", l[:, ib, :ib], z[:, :ib])
+        z = z.at[:, ib].set(_ein("bxy,byr->bxr", w[:, ib], acc))
+    return z
+
+
+def _bwd_solve(l, w, rhs):
+    """alpha = L^-T rhs with rhs (B, nb, BLK, R)."""
+    nb = l.shape[1]
+    out = jnp.zeros_like(rhs)
+    for step in range(nb):
+        ib = nb - 1 - step
+        acc = rhs[:, ib]
+        if ib + 1 < nb:
+            acc = acc - _ein("bkyx,bkyr->bxr", l[:, ib + 1 :, ib], out[:, ib + 1 :])
+        out = out.at[:, ib].set(_ein("byx,byr->bxr", w[:, ib], acc))
+    return out
+
+
+def _tinv(l, w):
+    """T = L^-1 as a block tensor (B, nb, nb, BLK, BLK), lower-triangular."""
+    b, nb = l.shape[0], l.shape[1]
+    t = jnp.zeros_like(l)
+    for ib in range(nb):
+        t = t.at[:, ib, ib].set(w[:, ib])
+        if ib > 0:
+            acc = _ein("bkxy,bkjyz->bjxz", l[:, ib, :ib], t[:, :ib, :ib])
+            t = t.at[:, ib, :ib].set(-_ein("bxy,bjyz->bjxz", w[:, ib], acc))
+    return t
+
+
+def _prep(log_hypers, x, y, mask, kind, jitter):
+    b, n, _ = x.shape
+    if n % BLK != 0:
+        raise ValueError(f"N must be a multiple of {BLK}, got {n}")
+    a, sf2, sn2 = _build_a(log_hypers, x, mask, kind, jitter)
+    l, w, logdet, ok = _blocked_chol(_to_blocks(a))
+    return a, l, w, logdet, ok, sf2, sn2
+
+
+def _as_block_vec(v):
+    b, n = v.shape
+    nb = n // BLK
+    return v.reshape(b, nb, BLK, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "jitter"))
+def gp_nll_blocked(log_hypers, x, y, mask, kind: Kernel = Kernel.MATERN32, jitter: float = 0.0):
+    """Batched masked NLL, (B,) — blocked large-N path. y must be centered."""
+    m = mask.astype(x.dtype)
+    _, l, w, logdet, ok, _, _ = _prep(log_hypers, x, y, mask, kind, jitter)
+    z = _fwd_solve(l, w, _as_block_vec(y * m))
+    quad = jnp.sum(z * z, axis=(1, 2, 3))
+    n_valid = jnp.sum(m, axis=1)
+    nll = 0.5 * quad + logdet + 0.5 * n_valid * _LOG2PI
+    return jnp.where(ok, nll, jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "jitter"))
+def gp_nll_and_grad_blocked(
+    log_hypers, x, y, mask, kind: Kernel = Kernel.MATERN32, jitter: float = 0.0
+):
+    """Batched masked NLL + analytic (B, 5) gradient — blocked large-N path."""
+    b, n, _ = x.shape
+    nb = n // BLK
+    m = mask.astype(x.dtype)
+    ym = y * m
+    _, l, w, logdet, ok, sf2, sn2 = _prep(log_hypers, x, y, mask, kind, jitter)
+    z = _fwd_solve(l, w, _as_block_vec(ym))
+    quad = jnp.sum(z * z, axis=(1, 2, 3))
+    n_valid = jnp.sum(m, axis=1)
+    nll = 0.5 * quad + logdet + 0.5 * n_valid * _LOG2PI
+
+    alpha = _bwd_solve(l, w, z).reshape(b, n)  # (B, N)
+    t = _tinv(l, w)
+    # K^-1 = T^T T: (B, nb_i, nb_j, BLK, BLK) with contraction over block-rows
+    kinv = _ein("bkixy,bkjxz->bijyz", t, t)
+    kinv = kinv.transpose(0, 1, 3, 2, 4).reshape(b, n, n)
+    q = kinv - alpha[:, :, None] * alpha[:, None, :]
+
+    # kernel derivative pieces, rebuilt elementwise (XLA fuses the chain)
+    ell = jnp.exp(log_hypers[:, :3])
+    qx = x / ell[:, None, :]
+    dq2 = (qx[:, :, None, :] - qx[:, None, :, :]) ** 2  # (B, N, N, 3)
+    d2 = jnp.sum(dq2, axis=-1)
+    mm = m[:, :, None] * m[:, None, :]
+    qm = q * mm
+    wgt = sf2[:, None, None] * pallas_gp._dlogell_weight(kind, d2)
+    g_ell = jnp.einsum("bij,bij,bijd->bd", qm, wgt, dq2)
+    kblk = sf2[:, None, None] * pallas_gp._shape_fn(kind, d2)
+    qdiag = jnp.einsum("bii,bi->b", q, m)
+    gs = jnp.einsum("bij,bij->b", qm, kblk) + jitter * sf2 * qdiag
+    gn = sn2 * qdiag
+    grad = 0.5 * jnp.concatenate([g_ell, gs[:, None], gn[:, None]], axis=1)
+
+    nll = jnp.where(ok, nll, jnp.inf)
+    grad = jnp.where(ok[:, None], grad, jnp.nan)
+    return nll, grad
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "jitter"))
+def gp_predict_blocked(
+    log_hypers, x, y, xstar, mask, mean,
+    kind: Kernel = Kernel.MATERN32, jitter: float = 0.0,
+):
+    """Posterior (mean, std, lZ, prior_std, ok) — blocked large-N path.
+
+    y raw (uncentered); mean (B,) scalar prior mean per cell.
+    """
+    b, n, _ = x.shape
+    m = mask.astype(x.dtype)
+    ym = (y - mean[:, None]) * m
+    _, l, w, logdet, ok, sf2, _ = _prep(log_hypers, x, y, mask, kind, jitter)
+
+    ell = jnp.exp(log_hypers[:, :3])
+    ks = jax.vmap(
+        lambda xi, xsi, ei, si, mi: K.cross_kernel(
+            xi, xsi[None, :], ei, si, kind=kind, mask=mi
+        )[:, 0]
+    )(x, xstar, ell, sf2, mask)  # (B, N)
+
+    rhs = jnp.concatenate(
+        [_as_block_vec(ym), _as_block_vec(ks)], axis=3
+    )  # (B, nb, BLK, 2)
+    zv = _fwd_solve(l, w, rhs)
+    z = zv[..., 0]
+    v = zv[..., 1]
+    quad = jnp.sum(z * z, axis=(1, 2))
+    fs = mean + jnp.sum(z * v, axis=(1, 2))
+    var = jnp.maximum(sf2 - jnp.sum(v * v, axis=(1, 2)), 0.0)
+    n_valid = jnp.sum(m, axis=1)
+    lz = -(0.5 * quad + logdet + 0.5 * n_valid * _LOG2PI)
+    nan = jnp.nan
+    return (
+        jnp.where(ok, fs, nan),
+        jnp.where(ok, jnp.sqrt(var), nan),
+        jnp.where(ok, lz, nan),
+        jnp.sqrt(sf2) * jnp.ones((b,), x.dtype),
+        ok,
+    )

@@ -111,3 +111,32 @@ def test_fused_predict_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(s_), np.asarray(r.std), atol=1e-12)
     np.testing.assert_allclose(np.asarray(lz_), np.asarray(r.lZ), rtol=1e-12)
     assert np.asarray(ok_).all()
+
+
+def test_blocked_backend_matches_xla(rng):
+    """Block-tensor large-N path (ops.blocked_gp) == XLA autodiff in f64."""
+    from optimalinterpolation_tpu.ops import blocked_gp
+
+    h, x, y, mask = _problem(rng, b=2, n=256)
+    nb_, gb_ = blocked_gp.gp_nll_and_grad_blocked(h, x, y, mask, jitter=1e-6)
+    nx, gx = _xla_vg()(h, x, y, mask)
+    np.testing.assert_allclose(np.asarray(nb_), np.asarray(nx), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gb_), np.asarray(gx), atol=1e-10)
+
+    nv = blocked_gp.gp_nll_blocked(h, x, y, mask, jitter=1e-6)
+    np.testing.assert_allclose(np.asarray(nv), np.asarray(nb_), rtol=1e-13)
+
+    from optimalinterpolation_tpu.models.exact_gp_batch import _predict_batch_xla
+
+    xs = jnp.asarray(
+        np.random.default_rng(5).uniform(-1e5, 1e5, (2, 3)) * np.asarray([1, 1, 0])
+        + np.asarray([0.0, 0.0, 4.0])
+    )
+    mean = jnp.full((2,), 0.15)
+    m_, s_, lz_, ps_, ok_ = blocked_gp.gp_predict_blocked(
+        h, x, y, xs, mask, mean, jitter=1e-6
+    )
+    r = _predict_batch_xla(h, x, y, xs, mask, mean, jitter=1e-6)
+    np.testing.assert_allclose(np.asarray(m_), np.asarray(r.mean), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_), np.asarray(r.std), atol=1e-12)
+    assert np.asarray(ok_).all()
