@@ -53,6 +53,10 @@ def _add_daily_args(p):
     p.add_argument("--outdir", default=".")
     p.add_argument("--devices", type=int, default=None,
                    help="shard cells across this many devices")
+    p.add_argument("--hypers", default=None,
+                   help=".npz of precomputed hyperparameter fields "
+                        "(ell_x, ell_y, ell_t, sf2, sn2): the quicklook "
+                        "opt=False path — skips per-cell optimization")
 
 
 def _load(args):
@@ -95,13 +99,21 @@ def _prior(args, ds):
     raise SystemExit("provide --prior-mean or --fyi")
 
 
+def _hypers(args):
+    if args.hypers is None:
+        return None
+    z = np.load(args.hypers)
+    return {k: z[k] for k in ("ell_x", "ell_y", "ell_t", "sf2", "sn2")}
+
+
 def cmd_daily(args):
     from optimalinterpolation_tpu.io.pickles import save_pickle
     from optimalinterpolation_tpu.pipeline.daily import interpolate_daily
 
     ds = _load(args)
     prior = _prior(args, ds)(args.day)
-    res = interpolate_daily(ds, args.day, prior, _configs(args), _sharding(args))
+    res = interpolate_daily(ds, args.day, prior, _configs(args), _sharding(args),
+                            precomputed_hypers=_hypers(args))
     import os
 
     out = os.path.join(args.outdir, f"CS2S3_{res.date}_{ds.grid_res_km}km.pkl")
@@ -116,7 +128,8 @@ def cmd_season(args):
     ds = _load(args)
     cfg = SeasonConfig(daily=_configs(args), outdir=args.outdir,
                        resume=not args.no_resume)
-    run_season(ds, cfg, prior_fn=_prior(args, ds), cell_sharding=_sharding(args))
+    run_season(ds, cfg, prior_fn=_prior(args, ds), cell_sharding=_sharding(args),
+               precomputed_hypers=_hypers(args))
 
 
 def cmd_bin(args):

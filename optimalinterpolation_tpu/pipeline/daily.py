@@ -166,6 +166,7 @@ def interpolate_daily(
     prior_mean: float,
     config: DailyConfig = DailyConfig(),
     cell_sharding=None,
+    precomputed_hypers: Optional[dict] = None,
 ) -> DailyResult:
     """Produce one daily interpolated field with uncertainty.
 
@@ -176,6 +177,13 @@ def interpolate_daily(
       prior_mean: scalar prior mean (data.prior.constant_fyi_prior).
       cell_sharding: optional ``jax.sharding.NamedSharding`` whose leading
         axis shards the cells dimension of every bucket across the mesh.
+      precomputed_hypers: the QUICKLOOK path (``GPR3D(opt=False)``,
+        ``GPR_CS2S3.py:170-172``; ``QuickLook Data/README.txt``): a dict of
+        (G, G) hyperparameter fields keyed by HYPER_NAMES (linear space,
+        e.g. seasonal averages regridded from 50 km runs via data.regrid).
+        Pass-1 optimization AND smoothing are skipped; every cell is
+        predicted once with its precomputed hypers — this is how the 232
+        shipped quicklook NetCDFs were produced.
     """
     cfg = config
     t_mid = cfg.t_mid
@@ -204,6 +212,48 @@ def interpolate_daily(
     }
     for name in HYPER_NAMES:
         grids[name] = np.full(shape, np.nan)
+
+    if precomputed_hypers is not None:
+        # Quicklook path: single fixed-hyper predict pass, no optimization.
+        missing = [k for k in HYPER_NAMES if k not in precomputed_hypers]
+        if missing:
+            raise ValueError(f"precomputed_hypers missing fields: {missing}")
+        hypers_smth = {k: np.asarray(precomputed_hypers[k]) for k in HYPER_NAMES}
+        interp_smth = np.full(shape, np.nan)
+        interp_error_smth = np.full(shape, np.nan)
+        lz_grid = np.full(shape, np.nan)
+        smth_at_cells = np.stack(
+            [hypers_smth[name][active_ij] for name in HYPER_NAMES], axis=1
+        )
+        for full_b in batches:
+          chunk = _chunk_rows(full_b.capacity, cfg.batch_multiple, cfg.max_chunk_bytes, dtype.itemsize)
+          for b in _chunks_of(full_b, chunk):
+            real = b.cell_index >= 0
+            lh = np.zeros((len(b), 5), dtype=dtype)
+            lh[real] = np.log(np.maximum(smth_at_cells[b.cell_index[real]], 1e-30))
+            pred = predict_batch(
+                _put(jnp.asarray(lh), cell_sharding),
+                _put(jnp.asarray(b.x), cell_sharding),
+                _put(jnp.asarray(b.z), cell_sharding),
+                _put(jnp.asarray(b.xstar), cell_sharding),
+                _put(jnp.asarray(b.mask), cell_sharding),
+                jnp.full((len(b),), prior_mean, dtype=dtype),
+                kind=cfg.kind,
+                jitter=cfg.jitter,
+            )
+            _scatter(interp_smth, active_ij, b.cell_index, np.asarray(pred.mean))
+            _scatter(interp_error_smth, active_ij, b.cell_index, np.asarray(pred.std))
+            _scatter(lz_grid, active_ij, b.cell_index, np.asarray(pred.lZ))
+        return DailyResult(
+            date=date,
+            interp=interp_smth.copy(),
+            interp_error=interp_error_smth.copy(),
+            lZ=lz_grid,
+            hypers=hypers_smth,
+            hypers_smth=hypers_smth,
+            interp_smth=interp_smth,
+            interp_error_smth=interp_error_smth,
+        )
 
     x0 = exact_gp.HYPER_INIT_LOG(ds.grid_res_km * 1000.0, dtype=dtype)
 

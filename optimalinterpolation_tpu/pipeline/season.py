@@ -23,7 +23,29 @@ from optimalinterpolation_tpu.io.pickles import save_pickle
 from optimalinterpolation_tpu.io.quicklook import QuicklookField, write_quicklook
 from optimalinterpolation_tpu.pipeline.daily import DailyConfig, DailyResult, interpolate_daily
 
-__all__ = ["SeasonConfig", "run_season"]
+__all__ = ["SeasonConfig", "run_season", "seasonal_average_hypers"]
+
+
+def seasonal_average_hypers(results: Sequence[DailyResult]) -> dict:
+    """Per-cell seasonal-average hyperparameter fields (quicklook scheme).
+
+    The reference's quicklook production reuses seasonal-average hypers from
+    50 km runs regridded to 25 km instead of re-optimizing
+    (``QuickLook Data/README.txt:1``); this computes those averages from a
+    set of daily results (use data.regrid.regrid_field to change resolution).
+    """
+    import warnings
+
+    from optimalinterpolation_tpu.pipeline.daily import HYPER_NAMES
+
+    out = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
+        for name in HYPER_NAMES:
+            out[name] = np.nanmean(
+                np.stack([r.hypers_smth[name] for r in results]), axis=0
+            )
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +64,7 @@ def run_season(
     prior_fn: Optional[Callable[[int], float]] = None,
     fyi: Optional[np.ndarray] = None,
     cell_sharding=None,
+    precomputed_hypers: Optional[dict] = None,
     log: Callable[[str], None] = print,
 ) -> list[DailyResult]:
     """Run every T-day window (or the given ``days`` start indices).
@@ -80,7 +103,8 @@ def run_season(
 
         t0 = time.time()
         res = interpolate_daily(
-            ds, day, prior, cfg.daily, cell_sharding=cell_sharding
+            ds, day, prior, cfg.daily, cell_sharding=cell_sharding,
+            precomputed_hypers=precomputed_hypers,
         )
         n_cells = int(np.isfinite(res.interp).sum())
         log(

@@ -105,3 +105,32 @@ def test_pipeline_sharded_matches_unsharded(small_season):
     np.testing.assert_allclose(
         sharded.interp_smth, base.interp_smth, rtol=1e-6, atol=1e-8, equal_nan=True
     )
+
+
+def test_quicklook_precomputed_hypers_path(small_season):
+    """The opt=False production path (GPR_CS2S3.py:170-172; quicklook README):
+    precomputed hyper fields -> single predict pass, no optimization; must
+    reproduce the pass-2 predictions of a full two-pass run that used the
+    same smoothed hypers."""
+    ds, truth, dates = small_season
+    cfg = DailyConfig(
+        window_days=9,
+        radius_km=450.0,
+        opt=OptimizeConfig(max_iters=8),
+        buckets=(128, 256, 512),
+        dtype="float64",
+    )
+    full = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
+    quick = interpolate_daily(
+        ds, day=0, prior_mean=0.15, config=cfg,
+        precomputed_hypers=full.hypers_smth,
+    )
+    np.testing.assert_allclose(
+        quick.interp_smth, full.interp_smth, rtol=1e-10, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        quick.interp_error_smth, full.interp_error_smth, rtol=1e-10, equal_nan=True
+    )
+    # quicklook reports the precomputed hypers unchanged
+    for k, v in quick.hypers_smth.items():
+        np.testing.assert_array_equal(v, full.hypers_smth[k])
