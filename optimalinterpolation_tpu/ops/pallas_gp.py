@@ -35,7 +35,7 @@ Semantics match :func:`optimalinterpolation_tpu.models.exact_gp.
 neg_log_marginal_likelihood` exactly (same masking, jitter, determinant
 conventions); verified to ~1e-13 against jax.grad of the XLA path in f64
 interpret mode, and slightly MORE accurate than the XLA f32 path vs the f64
-oracle (matmul chains run at Precision.HIGHEST).
+oracle (matmul chains run at multi-pass MXU precision).
 
 N must be a multiple of 128 in [128, 1024] (bucket capacities already are);
 larger buckets stay on the XLA path until an HBM-staged variant lands.
@@ -56,6 +56,10 @@ __all__ = ["gp_nll", "gp_nll_and_grad", "supported", "cell_tile", "BLK"]
 
 BLK = 128
 _LOG2PI = 1.8378770664093453
+# Mosaic in-kernel dots support only DEFAULT/HIGHEST; DEFAULT (single-pass
+# bf16, ~3e-3 relative error) is fatal in Cholesky chains, so HIGHEST it is.
+# (The XLA-level blocked path uses HIGH = 3-pass bf16: same measured accuracy
+# at ~3x the matmul rate — not available inside Pallas.)
 _HI = jax.lax.Precision.HIGHEST
 
 _NU2 = {
@@ -107,11 +111,11 @@ def _red(t):
 
 
 def _bmm(a, b, ta=False, tb=False):
-    """Batched (TB, m, k) x (TB, k, n) MXU matmul at HIGHEST precision.
+    """Batched (TB, m, k) x (TB, k, n) MXU matmul at multi-pass precision.
 
     The TPU MXU's default f32 "matmul" is a single bf16 pass (~3e-3 relative
-    error) — catastrophic inside a Cholesky chain; HIGHEST selects the
-    multi-pass scheme with f32-equivalent accuracy.
+    error) — catastrophic inside a Cholesky chain; _HI selects the multi-pass
+    scheme with f32-equivalent accuracy.
     """
     da = (1,) if ta else (2,)
     db = (2,) if tb else (1,)

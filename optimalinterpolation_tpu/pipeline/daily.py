@@ -127,15 +127,30 @@ def _put(arr, sharding):
     return jax.device_put(arr, sharding) if sharding is not None else arr
 
 
-# Live (N, N) f32 buffers per cell inside jit of NLL-with-gradient: K, the
-# padded PSD matrix, its Cholesky, the Cholesky-VJP residual/cotangent pair,
-# plus XLA workspace. Empirically ~8; 10 leaves headroom.
+# Live (N, N) buffers per cell in HBM, by backend: the fused Pallas kernel
+# keeps everything VMEM-resident (inputs only in HBM); the blocked einsum
+# path holds A + T block tensors + gradient transients (~12); the XLA
+# autodiff path ~10 (K, A, L, VJP residuals, workspace).
 _MEM_BUFFERS = 10
+_MEM_BUFFERS_BLOCKED = 12
+# Cap pallas chunks: lockstep L-BFGS waits for the slowest cell in a chunk,
+# so unboundedly large chunks trade dispatch overhead for straggler time.
+_PALLAS_CHUNK_CAP = 2048
 
 
 def _chunk_rows(capacity: int, batch_multiple: int, max_chunk_bytes: float, itemsize: int) -> int:
-    per_cell = _MEM_BUFFERS * capacity * capacity * itemsize
-    rows = max(1, int(max_chunk_bytes // per_cell))
+    import jax
+
+    from optimalinterpolation_tpu.ops import pallas_gp
+
+    on_tpu = jax.default_backend() == "tpu"
+    f32 = itemsize == 4
+    if on_tpu and f32 and pallas_gp.supported(capacity):
+        rows = min(_PALLAS_CHUNK_CAP, int(max_chunk_bytes // (capacity * 64)))
+    else:
+        bufs = _MEM_BUFFERS_BLOCKED if (on_tpu and f32) else _MEM_BUFFERS
+        per_cell = bufs * capacity * capacity * itemsize
+        rows = max(1, int(max_chunk_bytes // per_cell))
     return max(batch_multiple, (rows // batch_multiple) * batch_multiple)
 
 
