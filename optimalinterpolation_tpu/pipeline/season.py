@@ -115,13 +115,16 @@ def run_season(
         if cfg.write_pickles:
             save_pickle(res.to_reference_dict(), pkl_path)
         if cfg.write_quicklook:
+            # Internal fields are [ix, iy]; the reference's quicklook files
+            # are [iy, ix] (verified against its shipped lat/lon to 2e-12
+            # deg) — transpose so pixels align file-to-file.
             write_quicklook(
                 QuicklookField(
                     date=date,
-                    lat=lat,
-                    lon=lon,
-                    radar_freeboard=res.interp_smth,
-                    uncertainty=res.interp_error_smth,
+                    lat=lat.T,
+                    lon=lon.T,
+                    radar_freeboard=res.interp_smth.T,
+                    uncertainty=res.interp_error_smth.T,
                 ),
                 os.path.join(
                     cfg.outdir, f"CS2S3_{date}_{ds.grid_res_km}km_quicklook.nc"

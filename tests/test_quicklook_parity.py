@@ -68,3 +68,17 @@ def test_roundtrip_matches_reference_schema(tmp_path):
     np.testing.assert_array_equal(ours.radar_freeboard, ref.radar_freeboard)
     np.testing.assert_array_equal(ours.lat, ref.lat)
     assert ours.date == "20190128"
+
+
+def test_projection_matches_reference_grid():
+    """Our dependency-free polar-stereographic projection reproduces the
+    reference production grid's lat/lon to 2e-12 degrees (the reference files
+    are [iy, ix]-oriented; internal grids are [ix, iy])."""
+    from optimalinterpolation_tpu.data.projection import north_polar_grid
+    from optimalinterpolation_tpu.io.quicklook import read_quicklook
+
+    q = read_quicklook(REF)
+    gx, gy, lon, lat = north_polar_grid(25)
+    np.testing.assert_allclose(lat.T, q.lat, atol=1e-9)
+    dlon = np.abs((lon.T - q.lon + 180) % 360 - 180)
+    assert np.nanmax(dlon) < 1e-9
