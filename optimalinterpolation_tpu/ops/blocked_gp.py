@@ -266,15 +266,27 @@ def gp_nll_and_grad_blocked(
     kinv = kinv.transpose(0, 1, 3, 2, 4).reshape(b, n, n)
     q = kinv - alpha[:, :, None] * alpha[:, None, :]
 
-    # kernel derivative pieces, rebuilt elementwise (XLA fuses the chain)
+    # Kernel-derivative reductions, rebuilt elementwise. Per-dimension loop
+    # instead of a materialized (B, N, N, 3) distance stack: at N = 4096 that
+    # stack alone is 1.5 GB per 8-cell chunk and (with the other transients)
+    # can OOM-kill the TPU worker mid-bench.
     ell = jnp.exp(log_hypers[:, :3])
     qx = x / ell[:, None, :]
-    dq2 = (qx[:, :, None, :] - qx[:, None, :, :]) ** 2  # (B, N, N, 3)
-    d2 = jnp.sum(dq2, axis=-1)
+    d2 = sum(
+        (qx[:, :, None, d] - qx[:, None, :, d]) ** 2 for d in range(3)
+    )
     mm = m[:, :, None] * m[:, None, :]
     qm = q * mm
-    wgt = sf2[:, None, None] * pallas_gp._dlogell_weight(kind, d2)
-    g_ell = jnp.einsum("bij,bij,bijd->bd", qm, wgt, dq2)
+    qmw = qm * (sf2[:, None, None] * pallas_gp._dlogell_weight(kind, d2))
+    g_ell = jnp.stack(
+        [
+            jnp.einsum(
+                "bij,bij->b", qmw, (qx[:, :, None, d] - qx[:, None, :, d]) ** 2
+            )
+            for d in range(3)
+        ],
+        axis=1,
+    )
     kblk = sf2[:, None, None] * pallas_gp._shape_fn(kind, d2)
     qdiag = jnp.einsum("bii,bi->b", q, m)
     gs = jnp.einsum("bij,bij->b", qm, kblk) + jitter * sf2 * qdiag
