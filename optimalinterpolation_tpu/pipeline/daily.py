@@ -133,9 +133,12 @@ def _put(arr, sharding):
 # autodiff path ~10 (K, A, L, VJP residuals, workspace).
 _MEM_BUFFERS = 10
 _MEM_BUFFERS_BLOCKED = 12
-# Cap pallas chunks: lockstep L-BFGS waits for the slowest cell in a chunk,
-# so unboundedly large chunks trade dispatch overhead for straggler time.
-_PALLAS_CHUNK_CAP = 2048
+# Cap pallas chunks by EXPECTED PROGRAM DURATION, not just memory: one
+# optimize program runs the whole lockstep L-BFGS for its chunk on-device;
+# a ~200 s single program reliably kills the (watchdogged) TPU worker, and
+# long chunks also maximize straggler waste. Caps sized for ~<60 s at 50
+# L-BFGS iterations from measured per-cell optimize throughput on v5e.
+_PALLAS_CHUNK_CAP = {128: 2048, 256: 2048, 512: 1024, 1024: 384}
 
 
 def _chunk_rows(capacity: int, batch_multiple: int, max_chunk_bytes: float, itemsize: int) -> int:
@@ -146,7 +149,8 @@ def _chunk_rows(capacity: int, batch_multiple: int, max_chunk_bytes: float, item
     on_tpu = jax.default_backend() == "tpu"
     f32 = itemsize == 4
     if on_tpu and f32 and pallas_gp.supported(capacity):
-        rows = min(_PALLAS_CHUNK_CAP, int(max_chunk_bytes // (capacity * 64)))
+        cap = _PALLAS_CHUNK_CAP.get(capacity, 384)
+        rows = min(cap, int(max_chunk_bytes // (capacity * 64)))
     else:
         bufs = _MEM_BUFFERS_BLOCKED if (on_tpu and f32) else _MEM_BUFFERS
         per_cell = bufs * capacity * capacity * itemsize
