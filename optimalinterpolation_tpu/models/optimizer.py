@@ -52,19 +52,39 @@ class OptimizeConfig:
     #   "pallas"  — force the fused kernel (interpret mode off-TPU: test-only)
     #   "blocked" — force the block-tensor path
     backend: str = "auto"
+    # Multi-restart (SURVEY.md section 7 hard part (b)): the MLL has a
+    # degenerate noise-only local optimum some cells fall into from the
+    # reference x0; restarts re-run the optimization from deterministic
+    # log-space offsets and keep the best NLL per cell. 1 = reference
+    # behaviour (single scipy-CG-style trajectory from x0).
+    restarts: int = 1
 
     def __post_init__(self):
         if self.method not in ("lbfgs", "adam"):
             raise ValueError(f"unknown method {self.method!r}")
         if self.backend not in ("auto", "xla", "pallas", "blocked"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if not 1 <= self.restarts <= len(_RESTART_OFFSETS):
+            raise ValueError(f"restarts must be in [1, {len(_RESTART_OFFSETS)}]")
+
+
+# Deterministic restart offsets in log-hyperparameter space
+# [log ell_x, log ell_y, log ell_t, log sf2, log sn2]:
+# 0: the reference x0 itself; 1: longer spatial scales; 2: shorter scales +
+# more signal; 3: low-noise high-signal corner.
+_RESTART_OFFSETS = (
+    (0.0, 0.0, 0.0, 0.0, 0.0),
+    (1.0, 1.0, 0.7, 0.0, 0.0),
+    (-1.0, -1.0, -0.7, 1.0, 0.0),
+    (0.5, 0.5, 0.0, 1.5, -1.5),
+)
 
 
 class OptimizeResult(NamedTuple):
-    log_hypers: jax.Array  # (5,) optimized log-hyperparameters
-    nll: jax.Array  # final negative log marginal likelihood
-    iters: jax.Array  # iterations taken
-    converged: jax.Array  # grad-norm tolerance reached
+    log_hypers: jax.Array  # (5,) — or (B, 5) from the batched path
+    nll: jax.Array  # final negative log marginal likelihood (scalar | (B,))
+    iters: jax.Array  # iterations taken (batched: lockstep count, shared)
+    converged: jax.Array  # grad-norm tolerance reached (scalar | (B,))
 
 
 def _nll_fn(config: OptimizeConfig, x, y, mask):
@@ -489,9 +509,29 @@ def optimize_mll_batch(
     This is the TPU replacement for the reference's MPI task farm
     (``GPR_CS2S3.py:248-262``): all cells in the bucket advance one L-BFGS
     iteration per step as one batched kernel-build + batched Cholesky —
-    through the fused Pallas kernel on TPU (``backend="auto"``), or through
-    the vmapped XLA NLL otherwise. The two backends agree to f32 rounding
-    (the Pallas kernel is validated to ~1e-13 against the XLA path in f64).
+    through the fused Pallas kernel on TPU (``backend="auto"``), the
+    block-tensor einsum path for the largest buckets, or the vmapped XLA NLL
+    otherwise. With ``config.restarts > 1`` every cell is optimized from
+    several deterministic initializations (stacked into the batch) and the
+    best NLL wins.
     """
     backend = _resolve_backend(config, x.shape[1], x.dtype)
-    return _optimize_mll_batch_impl(log_hypers0, x, y, mask, config, backend)
+    r = config.restarts
+    if r == 1:
+        return _optimize_mll_batch_impl(log_hypers0, x, y, mask, config, backend)
+
+    b = log_hypers0.shape[0]
+    offs = jnp.asarray(_RESTART_OFFSETS[:r], log_hypers0.dtype)  # (R, 5)
+    h0 = (log_hypers0[None, :, :] + offs[:, None, :]).reshape(r * b, -1)
+    tile = lambda a: jnp.concatenate([a] * r, axis=0)  # noqa: E731
+    res = _optimize_mll_batch_impl(h0, tile(x), tile(y), tile(mask), config, backend)
+    nll = res.nll.reshape(r, b)
+    nll_for_pick = jnp.where(jnp.isfinite(nll), nll, jnp.inf)
+    best = jnp.argmin(nll_for_pick, axis=0)  # (B,)
+    pick = lambda a: a.reshape((r, b) + a.shape[1:])[best, jnp.arange(b)]  # noqa: E731
+    return OptimizeResult(
+        log_hypers=pick(res.log_hypers),
+        nll=pick(res.nll),
+        iters=res.iters if res.iters.ndim == 0 else pick(res.iters),
+        converged=pick(res.converged),
+    )

@@ -141,7 +141,10 @@ _MEM_BUFFERS_BLOCKED = 12
 _PALLAS_CHUNK_CAP = {128: 2048, 256: 2048, 512: 1024, 1024: 384}
 
 
-def _chunk_rows(capacity: int, batch_multiple: int, max_chunk_bytes: float, itemsize: int) -> int:
+def _chunk_rows(
+    capacity: int, batch_multiple: int, max_chunk_bytes: float, itemsize: int,
+    restarts: int = 1,
+) -> int:
     import jax
 
     from optimalinterpolation_tpu.ops import pallas_gp
@@ -155,6 +158,7 @@ def _chunk_rows(capacity: int, batch_multiple: int, max_chunk_bytes: float, item
         bufs = _MEM_BUFFERS_BLOCKED if (on_tpu and f32) else _MEM_BUFFERS
         per_cell = bufs * capacity * capacity * itemsize
         rows = max(1, int(max_chunk_bytes // per_cell))
+    rows = rows // max(restarts, 1)  # restarts multiply in-program work
     return max(batch_multiple, (rows // batch_multiple) * batch_multiple)
 
 
@@ -278,9 +282,9 @@ def interpolate_daily(
 
     # ---- pass 1: per-cell MLL optimization + prediction (GPR3D(opt=True)) --
     opt_cfg = dataclasses.replace(cfg.opt, kind=cfg.kind, jitter=cfg.jitter)
-    pass1_hypers: list[np.ndarray] = []
     for full_b in batches:
-      chunk = _chunk_rows(full_b.capacity, cfg.batch_multiple, cfg.max_chunk_bytes, dtype.itemsize)
+      chunk = _chunk_rows(full_b.capacity, cfg.batch_multiple, cfg.max_chunk_bytes,
+                          dtype.itemsize, restarts=cfg.opt.restarts)
       for b in _chunks_of(full_b, chunk):
         bx = _put(jnp.asarray(b.x), cell_sharding)
         bz = _put(jnp.asarray(b.z), cell_sharding)
@@ -297,7 +301,6 @@ def interpolate_daily(
         )
 
         hyp = np.exp(np.asarray(opt_res.log_hypers, dtype=np.float64))
-        pass1_hypers.append(hyp)
         _scatter(grids["interp"], active_ij, b.cell_index, np.asarray(pred.mean))
         _scatter(grids["interp_error"], active_ij, b.cell_index, np.asarray(pred.std))
         _scatter(grids["lZ"], active_ij, b.cell_index, np.asarray(pred.lZ))

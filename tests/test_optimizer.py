@@ -78,3 +78,26 @@ def test_batch_matches_per_cell():
             float(batch.nll[i]), float(single.nll), rtol=1e-5,
             err_msg=f"cell {i}: batched vs single optimization diverged",
         )
+
+
+def test_multi_restart_never_worse():
+    """restarts > 1 keeps the best NLL per cell; never worse than single."""
+    cells = [_make_cell(s, n=48) for s in (11, 12)]
+    nmax = 64
+    xs = np.zeros((2, nmax, 3))
+    ys = np.zeros((2, nmax))
+    masks = np.zeros((2, nmax))
+    for i, (x, y) in enumerate(cells):
+        xs[i, : len(y)] = x
+        ys[i, : len(y)] = y
+        masks[i, : len(y)] = 1.0
+    h0 = jnp.tile(jnp.asarray(X0)[None], (2, 1))
+    single = optimize_mll_batch(
+        h0, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks),
+        OptimizeConfig(max_iters=30),
+    )
+    multi = optimize_mll_batch(
+        h0, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks),
+        OptimizeConfig(max_iters=30, restarts=3),
+    )
+    assert (np.asarray(multi.nll) <= np.asarray(single.nll) + 1e-9).all()
