@@ -27,7 +27,7 @@ def _cell(rng, n=200):
 
 
 @pytest.mark.slow
-def test_svgp_approaches_exact_gp(rng):
+def test_svgp_approaches_exact_gp():
     """SVGP vs exact GP *at the SVGP's learned hyperparameters*.
 
     Comparing against the exact GP at the TRUE hypers confounds two errors:
@@ -38,6 +38,9 @@ def test_svgp_approaches_exact_gp(rng):
     isolated: same hypers, same mean -> sub-mm agreement on a field smooth
     enough for 50 inducing points to represent.
     """
+    # local generator: the session rng's state depends on which tests ran
+    # before, and this assertion is data-sensitive
+    rng = np.random.default_rng(1234)
     log_h = np.log(np.array([4.0e5, 4.0e5, 6.0, 0.03, 0.004]))
     n = 200
     x = rng.uniform(-3e5, 3e5, size=(n, 3)) * np.asarray([1, 1, 1.2e-5])
