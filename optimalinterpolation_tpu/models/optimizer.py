@@ -87,15 +87,6 @@ class OptimizeResult(NamedTuple):
     converged: jax.Array  # grad-norm tolerance reached (scalar | (B,))
 
 
-def _nll_fn(config: OptimizeConfig, x, y, mask):
-    def fn(log_hypers):
-        return exact_gp.neg_log_marginal_likelihood(
-            log_hypers, x, y, mask, kind=config.kind, jitter=config.jitter
-        )
-
-    return fn
-
-
 _LBFGS_HISTORY = 8
 _LS_MAX_STEPS = 12
 _LS_C1 = 1e-4
@@ -107,157 +98,6 @@ _LS_C1 = 1e-4
 _MAX_STEP = 1.0
 
 
-def _optimize_lbfgs(fn, log_hypers0, config: OptimizeConfig):
-    """Hand-rolled L-BFGS with Armijo backtracking, built for the XLA TPU
-    compiler.
-
-    optax's ``lbfgs`` (chained zoom line search) lowers to an enormous HLO:
-    measured ~100 s TPU compile for one (8, 256) bucket, an XLA
-    memory-space-assignment CHECK-crash at (40, 256), and multi-minute CPU
-    compiles. This implementation keeps the program tiny — a fixed-size
-    two-loop recursion (static history m=8, unrolled: 5-vector ops only) and a
-    value-only backtracking inner ``while_loop`` — so one NLL value/grad
-    evaluation per step is the only O(N^2)/O(N^3) work in the graph and the
-    whole optimizer vmaps over thousands of cells.
-
-    Failed-Cholesky (non-finite) NLL values are handled the way the
-    reference's scipy-CG treats LinAlgError -> inf (``GPR_CS2S3.py:139-140``):
-    the line search never accepts a non-finite point, and the best finite
-    iterate is returned.
-    """
-    m = _LBFGS_HISTORY
-    dt = log_hypers0.dtype
-    nparam = log_hypers0.shape[-1]
-    vg = jax.value_and_grad(fn)
-
-    def direction(grad, s_hist, y_hist, rho_hist, n_stored):
-        """Two-loop recursion; history slot k is valid iff k < n_stored."""
-        q = grad
-        alphas = []
-        # newest -> oldest (slot m-1 is newest)
-        for k in range(m - 1, -1, -1):
-            valid = k >= (m - n_stored)
-            a = rho_hist[k] * jnp.dot(s_hist[k], q)
-            a = jnp.where(valid, a, 0.0)
-            q = q - a * y_hist[k]
-            alphas.append((k, a))
-        # initial Hessian scaling from the newest pair
-        sy = jnp.dot(s_hist[m - 1], y_hist[m - 1])
-        yy = jnp.dot(y_hist[m - 1], y_hist[m - 1])
-        gamma = jnp.where(
-            jnp.logical_and(n_stored > 0, yy > 0.0), sy / jnp.maximum(yy, 1e-300), 1.0
-        )
-        r = gamma * q
-        for k, a in reversed(alphas):  # oldest -> newest
-            valid = k >= (m - n_stored)
-            b = rho_hist[k] * jnp.dot(y_hist[k], r)
-            b = jnp.where(valid, b, 0.0)
-            r = r + (a - b) * s_hist[k]
-        return -r
-
-    def line_search(params, value, grad, d):
-        """Armijo backtracking: halve t until f(p + t d) <= f + c1 t g.d."""
-        gd = jnp.dot(grad, d)
-
-        def cond(c):
-            t, new_v, tries = c
-            armijo = new_v <= value + _LS_C1 * t * gd
-            return jnp.logical_and(
-                tries < _LS_MAX_STEPS, jnp.logical_not(armijo)
-            )
-
-        def body(c):
-            t, _, tries = c
-            t = t * 0.5
-            return t, fn(params + t * d), tries + 1
-
-        t0 = jnp.minimum(
-            jnp.asarray(1.0, dt), _MAX_STEP / jnp.maximum(jnp.linalg.norm(d), 1e-30)
-        )
-        t, new_v, _ = jax.lax.while_loop(cond, body, (t0, fn(params + t0 * d), jnp.asarray(0)))
-        ok = new_v <= value + _LS_C1 * t * gd  # False => exhausted, no descent
-        return t, new_v, ok
-
-    def cond(carry):
-        _, _, _, _, _, _, _, it, gnorm, stop = carry
-        return jnp.logical_and(
-            jnp.logical_and(it < config.max_iters, gnorm > config.grad_tol),
-            jnp.logical_not(stop),
-        )
-
-    def body(carry):
-        params, value, grad, s_h, y_h, rho_h, n_st, it, _, stop = carry
-        d = direction(grad, s_h, y_h, rho_h, n_st)
-        # Safeguard: fall back to steepest descent if d is not a descent dir.
-        descent = jnp.dot(grad, d) < 0.0
-        d = jnp.where(descent, d, -grad)
-
-        t, new_v, ls_ok = line_search(params, value, grad, d)
-        new_p = params + t * d
-        _, new_g = vg(new_p)
-        g_ok = jnp.all(jnp.isfinite(new_g))
-        accept = jnp.logical_and(ls_ok, g_ok)
-
-        s = new_p - params
-        y = new_g - grad
-        sy = jnp.dot(s, y)
-        keep = jnp.logical_and(accept, sy > 1e-30)  # curvature condition
-        # shift history (slot 0 oldest), append newest at slot m-1
-        s_h2 = jnp.concatenate([s_h[1:], s[None]], axis=0)
-        y_h2 = jnp.concatenate([y_h[1:], y[None]], axis=0)
-        rho_h2 = jnp.concatenate([rho_h[1:], (1.0 / jnp.maximum(sy, 1e-300))[None]])
-        s_h = jnp.where(keep, s_h2, s_h)
-        y_h = jnp.where(keep, y_h2, y_h)
-        rho_h = jnp.where(keep, rho_h2, rho_h)
-        n_st = jnp.where(keep, jnp.minimum(n_st + 1, m), n_st)
-
-        params = jnp.where(accept, new_p, params)
-        value = jnp.where(accept, new_v, value)
-        grad = jnp.where(accept, new_g, grad)
-        gnorm = jnp.linalg.norm(grad)
-        # line search exhausted with no acceptable step: converged/stuck
-        return params, value, grad, s_h, y_h, rho_h, n_st, it + 1, gnorm, jnp.logical_not(accept)
-
-    v0, g0 = vg(log_hypers0)
-    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
-    init = (
-        log_hypers0,
-        v0,
-        g0,
-        jnp.zeros((m, nparam), dt),
-        jnp.zeros((m, nparam), dt),
-        jnp.zeros((m,), dt),
-        jnp.asarray(0),
-        jnp.asarray(0),
-        jnp.linalg.norm(g0),
-        jnp.logical_not(jnp.isfinite(v0)),  # x0 infeasible -> return as-is
-    )
-    params, value, grad, *_, iters, gnorm, _stop = jax.lax.while_loop(cond, body, init)
-    return params, iters, gnorm <= config.grad_tol
-
-
-def _optimize_adam(fn, log_hypers0, config: OptimizeConfig):
-    # Cosine decay to 0: a constant lr stalls ~2 nats above the optimum on
-    # typical cells; annealing reaches the same basin floor as L-BFGS/CG.
-    opt = optax.adam(optax.cosine_decay_schedule(config.adam_lr, config.max_iters))
-    vg = jax.value_and_grad(fn)
-
-    def body(carry, _):
-        params, state = carry
-        value, grad = vg(params)
-        grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
-        updates, state = opt.update(grad, state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, state), jnp.linalg.norm(grad)
-
-    (params, _), gnorms = jax.lax.scan(
-        body, (log_hypers0, opt.init(log_hypers0)), None, length=config.max_iters
-    )
-    converged = gnorms[-1] <= config.grad_tol
-    return params, jnp.asarray(config.max_iters), converged
-
-
-@partial(jax.jit, static_argnames=("config",))
 def optimize_mll(
     log_hypers0: jax.Array,
     x: jax.Array,
@@ -269,14 +109,18 @@ def optimize_mll(
 
     ``y`` must be centered (prior mean subtracted), matching the reference's
     ``SMLII(hypers, inputs, outputs, mX)`` call where the quadratic form uses
-    ``y - mX`` (``GPR_CS2S3.py:127``).
+    ``y - mX`` (``GPR_CS2S3.py:127``). Thin wrapper over the batched
+    optimizer with B = 1 (one implementation to maintain and test).
     """
-    fn = _nll_fn(config, x, y, mask)
-    if config.method == "lbfgs":
-        params, iters, converged = _optimize_lbfgs(fn, log_hypers0, config)
-    else:
-        params, iters, converged = _optimize_adam(fn, log_hypers0, config)
-    return OptimizeResult(params, fn(params), iters, converged)
+    r = optimize_mll_batch(
+        log_hypers0[None], x[None], y[None], mask[None], config
+    )
+    return OptimizeResult(
+        log_hypers=r.log_hypers[0],
+        nll=r.nll[0],
+        iters=r.iters if r.iters.ndim == 0 else r.iters[0],
+        converged=r.converged[0],
+    )
 
 
 def _resolve_backend(config: OptimizeConfig, n: int, dtype) -> str:
