@@ -43,7 +43,11 @@ def background_prior(
 ) -> np.ndarray:
     """Spatially varying prior: first-``n_days`` all-satellite mean field with
     pole-hole fill (dev notebook semantics). NaN where never observed."""
-    with np.errstate(invalid="ignore"):
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        # all-NaN cells are expected (never-observed ocean) and map to NaN
+        warnings.simplefilter("ignore", RuntimeWarning)
         background = np.nanmean(obs[:, :, :, :n_days], axis=(2, 3))
     hole = np.isnan(background) & (lat > pole_lat)
     valid_pole = (~np.isnan(background)) & (lat > pole_lat)
