@@ -117,3 +117,30 @@ def test_season_runner_resume_and_quicklook(tmp_path):
     logs2 = []
     results2 = run_season(ds, cfg, prior_fn=lambda d: 0.15, log=logs2.append)
     assert results2 == [] and any("skipping" in s for s in logs2)
+
+
+def test_run_season_binning(tmp_path, rng):
+    """Full C1 season flow: month-dir tree of .proc files -> season pickle +
+    coordinate .npy files (read_and_bin.py layout)."""
+    from optimalinterpolation_tpu.data.binner import run_season_binning
+    from optimalinterpolation_tpu.io.pickles import load_pickle
+
+    datadir = tmp_path / "raw"
+    month = "201812"
+    (datadir / month).mkdir(parents=True)
+    proj_rows = []
+    for day in (1, 2):
+        n = 60
+        cols = np.zeros((n, 8))
+        cols[:, 0] = rng.uniform(-180, 180, n)
+        cols[:, 1] = rng.uniform(66, 86, n)
+        cols[:, 4] = rng.uniform(0.0, 0.3, n)
+        cols[:, 7] = 2
+        np.savetxt(datadir / month / f"CS2_{month}{day:02d}_v1.proc", cols, fmt="%.8g")
+    out = tmp_path / "binned"
+    fields = run_season_binning(str(datadir), str(out), "CS2_SAR", "2018-2019", 200)
+    assert set(fields) == {"20181201", "20181202"}
+    pkl = load_pickle(str(out / "CS2_SAR_dailyFB_200km_2018-2019_season.pkl"))
+    assert set(pkl) == set(fields)
+    gx = np.load(out / "x_200km.npy")
+    assert gx.shape == (40, 40) and gx.max() < 8e6
