@@ -218,10 +218,15 @@ def _optimize_lbfgs_batched(value_fn, vg_fn, h0, config: OptimizeConfig):
             r = r + (a - bb) * s_h[k]
         return -r
 
-    def line_search(params, value, grad, d, live):
+    def line_search(params, value, grad, d, live, t_carry):
         gd = jnp.sum(grad * d, axis=1)  # (B,)
         dnorm = jnp.linalg.norm(d, axis=1)
+        # First trial step: the norm cap, warm-started from ~2x the last
+        # accepted step. On hard (large-N, clustered-data) cells the search
+        # otherwise re-discovers a small step from t=1 every iteration —
+        # measured ~7 wasted NLL evaluations per iteration on real data.
         t0 = jnp.minimum(jnp.asarray(1.0, dt), _MAX_STEP / jnp.maximum(dnorm, 1e-30))
+        t0 = jnp.minimum(t0, 2.0 * t_carry)
 
         def armijo(t, v):
             return v <= value + _LS_C1 * t * gd
@@ -250,18 +255,18 @@ def _optimize_lbfgs_batched(value_fn, vg_fn, h0, config: OptimizeConfig):
         return t, new_v, ok
 
     def cond(carry):
-        *_, it, gnorm, stop = carry
+        *_, it, gnorm, stop, _t = carry
         live = jnp.logical_and(gnorm > config.grad_tol, jnp.logical_not(stop))
         return jnp.logical_and(it < config.max_iters, jnp.any(live))
 
     def body(carry):
-        params, value, grad, s_h, y_h, rho_h, n_st, it, gnorm, stop = carry
+        params, value, grad, s_h, y_h, rho_h, n_st, it, gnorm, stop, t_carry = carry
         live = jnp.logical_and(gnorm > config.grad_tol, jnp.logical_not(stop))
         d = direction(grad, s_h, y_h, rho_h, n_st)
         descent = (jnp.sum(grad * d, axis=1) < 0.0)[:, None]
         d = jnp.where(descent, d, -grad)
 
-        t, new_v, ls_ok = line_search(params, value, grad, d, live)
+        t, new_v, ls_ok = line_search(params, value, grad, d, live, t_carry)
         new_p = params + t[:, None] * d
         _, new_g = vg_fn(new_p)
         g_ok = jnp.all(jnp.isfinite(new_g), axis=1)
@@ -287,7 +292,8 @@ def _optimize_lbfgs_batched(value_fn, vg_fn, h0, config: OptimizeConfig):
         grad = jnp.where(acc2, new_g, grad)
         gnorm = jnp.where(live, jnp.linalg.norm(grad, axis=1), gnorm)
         stop = jnp.where(live, jnp.logical_not(accept), stop)
-        return params, value, grad, s_h, y_h, rho_h, n_st, it + 1, gnorm, stop
+        t_carry = jnp.where(accept, t, t_carry)
+        return params, value, grad, s_h, y_h, rho_h, n_st, it + 1, gnorm, stop, t_carry
 
     v0, g0 = vg_fn(h0)
     g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
@@ -302,8 +308,9 @@ def _optimize_lbfgs_batched(value_fn, vg_fn, h0, config: OptimizeConfig):
         jnp.asarray(0),
         jnp.linalg.norm(g0, axis=1),
         jnp.logical_not(jnp.isfinite(v0)),
+        jnp.ones((b,), dt),  # t_carry
     )
-    params, value, grad, *_, iters, gnorm, _stop = jax.lax.while_loop(cond, body, init)
+    params, value, grad, *_, iters, gnorm, _stop, _t = jax.lax.while_loop(cond, body, init)
     its = jnp.full((b,), iters)
     return params, value, its, gnorm <= config.grad_tol
 
