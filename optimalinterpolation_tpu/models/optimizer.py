@@ -21,12 +21,19 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from optimalinterpolation_tpu.models import exact_gp
 from optimalinterpolation_tpu.ops import kernels as K
 
-__all__ = ["OptimizeConfig", "OptimizeResult", "optimize_mll", "optimize_mll_batch"]
+__all__ = [
+    "OptimizeConfig",
+    "OptimizeResult",
+    "optimize_mll",
+    "optimize_mll_batch",
+    "optimize_mll_chunked",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +48,15 @@ class OptimizeConfig:
     method: str = "lbfgs"  # "lbfgs" | "adam"
     max_iters: int = 60
     grad_tol: float = 1e-4
+    # Plateau stop: a cell stops once ``ftol_patience`` consecutive accepted
+    # L-BFGS steps each improve the NLL by less than ``ftol_abs`` nats.
+    # 0.0 disables it (run to grad_tol/max_iters, the reference-strict mode).
+    # Production cells have NLLs of O(1e3) nats and sit in flat basins where
+    # the gradient norm stays above any reasonable grad_tol for tens of
+    # iterations while the NLL moves by < 1e-2 nats — far below any effect
+    # on the predictions (see tests/test_optimizer.py plateau test).
+    ftol_abs: float = 0.0
+    ftol_patience: int = 3
     adam_lr: float = 0.2  # peak lr; cosine-decayed to 0 over max_iters
     jitter: float = 0.0
     kind: K.Kernel = K.Kernel.MATERN32
@@ -181,17 +197,67 @@ def _batched_fns(config: OptimizeConfig, backend: str, x, y, mask):
     return value_fn, vg_fn
 
 
-def _optimize_lbfgs_batched(value_fn, vg_fn, h0, config: OptimizeConfig):
-    """Batched L-BFGS over (B, 5) parameters, lockstep with per-cell selects.
+class LbfgsState(NamedTuple):
+    """Full per-cell L-BFGS state, resumable across program launches.
 
-    Semantically identical to vmapping :func:`_optimize_lbfgs` (vmap of a
-    while_loop IS lockstep-with-select), but expressed batched so the NLL
-    evaluations can go through the fused Pallas kernel, which handles its own
-    batching and cannot sit under vmap.
+    Every field's leading batch axis is independent per cell (all updates are
+    row-wise selects), so rows can be gathered/compacted/re-packed between
+    segments without changing any cell's trajectory — that is what
+    :func:`optimize_mll_chunked` exploits to stop paying lockstep time for
+    converged cells.
     """
+
+    params: jax.Array  # (B, P)
+    value: jax.Array  # (B,) NLL at params (kept in sync on acceptance)
+    grad: jax.Array  # (B, P)
+    s_h: jax.Array  # (m, B, P) history of steps
+    y_h: jax.Array  # (m, B, P) history of gradient differences
+    rho_h: jax.Array  # (m, B)
+    n_st: jax.Array  # (B,) int32 history fill count
+    it_cell: jax.Array  # (B,) int32 iterations this cell has advanced
+    gnorm: jax.Array  # (B,)
+    stop: jax.Array  # (B,) bool: line-search failure / nonfinite start
+    t_carry: jax.Array  # (B,) last accepted step length (line-search warm start)
+    plateau: jax.Array  # (B,) int32 consecutive sub-ftol_abs improvements
+
+    def live(self, config: "OptimizeConfig") -> jax.Array:
+        going = jnp.logical_and(self.gnorm > config.grad_tol, jnp.logical_not(self.stop))
+        return jnp.logical_and(going, self.plateau < config.ftol_patience)
+
+    def converged_mask(self, config: "OptimizeConfig") -> jax.Array:
+        return jnp.logical_or(
+            self.gnorm <= config.grad_tol, self.plateau >= config.ftol_patience
+        )
+
+
+def _lbfgs_init(vg_fn, h0) -> LbfgsState:
     m = _LBFGS_HISTORY
-    dt = h0.dtype
     b, nparam = h0.shape
+    dt = h0.dtype
+    v0, g0 = vg_fn(h0)
+    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+    return LbfgsState(
+        params=h0,
+        value=v0,
+        grad=g0,
+        s_h=jnp.zeros((m, b, nparam), dt),
+        y_h=jnp.zeros((m, b, nparam), dt),
+        rho_h=jnp.zeros((m, b), dt),
+        n_st=jnp.zeros((b,), jnp.int32),
+        it_cell=jnp.zeros((b,), jnp.int32),
+        gnorm=jnp.linalg.norm(g0, axis=1),
+        stop=jnp.logical_not(jnp.isfinite(v0)),
+        t_carry=jnp.ones((b,), dt),
+        plateau=jnp.zeros((b,), jnp.int32),
+    )
+
+
+def _lbfgs_segment(value_fn, vg_fn, state: LbfgsState, config: OptimizeConfig,
+                   seg_iters: int) -> LbfgsState:
+    """Advance every live cell by up to ``seg_iters`` L-BFGS iterations."""
+    m = _LBFGS_HISTORY
+    dt = state.params.dtype
+    b, nparam = state.params.shape
 
     def direction(grad, s_h, y_h, rho_h, n_st):
         # s_h, y_h: (m, B, P); rho_h: (m, B); n_st: (B,)
@@ -255,13 +321,15 @@ def _optimize_lbfgs_batched(value_fn, vg_fn, h0, config: OptimizeConfig):
         return t, new_v, ok
 
     def cond(carry):
-        *_, it, gnorm, stop, _t = carry
-        live = jnp.logical_and(gnorm > config.grad_tol, jnp.logical_not(stop))
-        return jnp.logical_and(it < config.max_iters, jnp.any(live))
+        st, it = carry
+        return jnp.logical_and(it < seg_iters, jnp.any(st.live(config)))
 
     def body(carry):
-        params, value, grad, s_h, y_h, rho_h, n_st, it, gnorm, stop, t_carry = carry
-        live = jnp.logical_and(gnorm > config.grad_tol, jnp.logical_not(stop))
+        st, it = carry
+        params, value, grad = st.params, st.value, st.grad
+        s_h, y_h, rho_h, n_st = st.s_h, st.y_h, st.rho_h, st.n_st
+        gnorm, stop, t_carry = st.gnorm, st.stop, st.t_carry
+        live = st.live(config)
         d = direction(grad, s_h, y_h, rho_h, n_st)
         descent = (jnp.sum(grad * d, axis=1) < 0.0)[:, None]
         d = jnp.where(descent, d, -grad)
@@ -287,32 +355,41 @@ def _optimize_lbfgs_batched(value_fn, vg_fn, h0, config: OptimizeConfig):
         n_st = jnp.where(keep[:, 0], jnp.minimum(n_st + 1, m), n_st)
 
         acc2 = accept[:, None]
+        # Plateau accounting: accepted steps with < ftol_abs improvement
+        # count up; a real improvement resets the counter.
+        small = (value - new_v) < config.ftol_abs
+        plateau = jnp.where(
+            accept, jnp.where(small, st.plateau + 1, 0), st.plateau
+        )
         params = jnp.where(acc2, new_p, params)
         value = jnp.where(accept, new_v, value)
         grad = jnp.where(acc2, new_g, grad)
         gnorm = jnp.where(live, jnp.linalg.norm(grad, axis=1), gnorm)
         stop = jnp.where(live, jnp.logical_not(accept), stop)
         t_carry = jnp.where(accept, t, t_carry)
-        return params, value, grad, s_h, y_h, rho_h, n_st, it + 1, gnorm, stop, t_carry
+        it_cell = st.it_cell + live.astype(jnp.int32)
+        new_st = LbfgsState(
+            params, value, grad, s_h, y_h, rho_h, n_st, it_cell, gnorm, stop,
+            t_carry, plateau,
+        )
+        return new_st, it + 1
 
-    v0, g0 = vg_fn(h0)
-    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
-    init = (
-        h0,
-        v0,
-        g0,
-        jnp.zeros((m, b, nparam), dt),
-        jnp.zeros((m, b, nparam), dt),
-        jnp.zeros((m, b), dt),
-        jnp.zeros((b,), jnp.int32),
-        jnp.asarray(0),
-        jnp.linalg.norm(g0, axis=1),
-        jnp.logical_not(jnp.isfinite(v0)),
-        jnp.ones((b,), dt),  # t_carry
+    out, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0)))
+    return out
+
+
+def _optimize_lbfgs_batched(value_fn, vg_fn, h0, config: OptimizeConfig):
+    """Batched L-BFGS over (B, 5) parameters, lockstep with per-cell selects.
+
+    Semantically identical to vmapping a scalar L-BFGS (vmap of a while_loop
+    IS lockstep-with-select), but expressed batched so the NLL evaluations can
+    go through the fused Pallas kernel, which handles its own batching and
+    cannot sit under vmap.
+    """
+    st = _lbfgs_segment(
+        value_fn, vg_fn, _lbfgs_init(vg_fn, h0), config, config.max_iters
     )
-    params, value, grad, *_, iters, gnorm, _stop, _t = jax.lax.while_loop(cond, body, init)
-    its = jnp.full((b,), iters)
-    return params, value, its, gnorm <= config.grad_tol
+    return st.params, st.value, st.it_cell, st.converged_mask(config)
 
 
 def _optimize_adam_batched(vg_fn, h0, config: OptimizeConfig):
@@ -338,14 +415,29 @@ def _optimize_adam_batched(vg_fn, h0, config: OptimizeConfig):
 def _optimize_mll_batch_impl(log_hypers0, x, y, mask, config, backend):
     value_fn, vg_fn = _batched_fns(config, backend, x, y, mask)
     if config.method == "lbfgs":
+        # value is carried in the L-BFGS state (updated on every acceptance),
+        # so the final NLL needs no extra evaluation.
         params, value, iters, converged = _optimize_lbfgs_batched(
             value_fn, vg_fn, log_hypers0, config
         )
     else:
-        params, value, iters, converged = _optimize_adam_batched(
+        params, _, iters, converged = _optimize_adam_batched(
             vg_fn, log_hypers0, config
         )
-    return OptimizeResult(params, value_fn(params), iters, converged)
+        value = value_fn(params)
+    return OptimizeResult(params, value, iters, converged)
+
+
+@partial(jax.jit, static_argnames=("config", "backend"))
+def _lbfgs_init_impl(h0, x, y, mask, config, backend):
+    _, vg_fn = _batched_fns(config, backend, x, y, mask)
+    return _lbfgs_init(vg_fn, h0)
+
+
+@partial(jax.jit, static_argnames=("config", "backend", "seg_iters"))
+def _lbfgs_segment_impl(state, x, y, mask, config, backend, seg_iters):
+    value_fn, vg_fn = _batched_fns(config, backend, x, y, mask)
+    return _lbfgs_segment(value_fn, vg_fn, state, config, seg_iters)
 
 
 def optimize_mll_batch(
@@ -385,4 +477,143 @@ def optimize_mll_batch(
         nll=pick(res.nll),
         iters=res.iters if res.iters.ndim == 0 else pick(res.iters),
         converged=pick(res.converged),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segmented + compacted driver (the production pass-1 path)
+# ---------------------------------------------------------------------------
+
+# Host-side state layout: batch axis first for row gather/scatter. These
+# fields are (m, B, ...) on device.
+_HIST_FIELDS = ("s_h", "y_h", "rho_h")
+
+
+def _state_to_host(st: LbfgsState) -> dict:
+    d = {k: np.asarray(v) for k, v in st._asdict().items()}
+    for k in _HIST_FIELDS:
+        d[k] = np.moveaxis(d[k], 1, 0)  # (B, m, ...)
+    return d
+
+
+def _host_rows_to_state(host: dict, rows: np.ndarray, put) -> LbfgsState:
+    d = {k: v[rows] for k, v in host.items()}
+    for k in _HIST_FIELDS:
+        d[k] = np.moveaxis(d[k], 0, 1)  # back to (m, B, ...)
+    return LbfgsState(**{k: put(np.ascontiguousarray(v)) for k, v in d.items()})
+
+
+def _writeback(host: dict, rows: np.ndarray, st: LbfgsState) -> None:
+    n = rows.size
+    out = st._asdict()
+    for k, v in out.items():
+        v = np.asarray(v)
+        if k in _HIST_FIELDS:
+            v = np.moveaxis(v, 1, 0)
+        host[k][rows] = v[:n]
+
+
+def optimize_mll_chunked(
+    log_hypers0: np.ndarray,  # (B, 5)
+    x: np.ndarray,  # (B, N, d)
+    y: np.ndarray,  # (B, N) centered
+    mask: np.ndarray,  # (B, N)
+    config: OptimizeConfig,
+    chunk_rows: int,
+    segment_iters: int = 10,
+    sharding=None,
+) -> OptimizeResult:
+    """Host-driven segmented L-BFGS with compaction of converged cells.
+
+    Runs the lockstep batched L-BFGS in fixed-shape chunks of
+    ``chunk_rows`` cells, ``segment_iters`` iterations per program launch.
+    Between segments, converged/stopped cells are dropped and the surviving
+    cells re-packed into fewer chunks — per-cell trajectories are identical
+    to the monolithic :func:`optimize_mll_batch` (every in-program update is
+    a row-wise select; batch composition is unobservable to a cell), but the
+    total device time approaches the *sum of per-cell work* instead of
+    ``n_chunks x max(per-cell work)``. Also keeps every launched program
+    short, which matters on watchdogged runtimes.
+
+    Inputs/outputs are host (numpy) arrays. ``sharding`` optionally places
+    each chunk's arrays on a device mesh (cells-axis sharding).
+    """
+    if config.method != "lbfgs":
+        raise ValueError("optimize_mll_chunked supports method='lbfgs' only")
+    backend = _resolve_backend(config, x.shape[1], x.dtype)
+    b = log_hypers0.shape[0]
+    r = config.restarts
+    offs = np.asarray(_RESTART_OFFSETS[:r], dtype=log_hypers0.dtype)
+    h0 = (log_hypers0[None, :, :] + offs[:, None, :]).reshape(r * b, -1)
+    b_tot = r * b
+    base = np.arange(b_tot) % b  # expanded row -> source cell
+
+    put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jnp.asarray
+
+    def chunks_over(idx):
+        for s in range(0, idx.size, chunk_rows):
+            rows = idx[s : s + chunk_rows]
+            n_real = rows.size
+            if n_real < chunk_rows:
+                rows = np.concatenate(
+                    [rows, np.repeat(rows[-1:], chunk_rows - n_real)]
+                )
+            yield rows[:n_real], rows
+
+    host = None
+    all_idx = np.arange(b_tot)
+    for real, rows in chunks_over(all_idx):
+        st = _lbfgs_init_impl(
+            put(h0[rows]), put(x[base[rows]]), put(y[base[rows]]),
+            put(mask[base[rows]]), config, backend,
+        )
+        if host is None:
+            hd = _state_to_host(st)
+            host = {
+                k: np.zeros((b_tot,) + v.shape[1:], v.dtype) for k, v in hd.items()
+            }
+        _writeback(host, real, st)
+
+    def live_mask():
+        return (
+            (host["gnorm"] > config.grad_tol)
+            & ~host["stop"]
+            & (host["plateau"] < config.ftol_patience)
+        )
+
+    live = live_mask()
+    iters_done = 0
+    while iters_done < config.max_iters and live.any():
+        seg = min(segment_iters, config.max_iters - iters_done)
+        idx = np.nonzero(live)[0]
+        for real, rows in chunks_over(idx):
+            # History fields are (m, B, ...) — cells axis second — so an
+            # axis-0 cells sharding must not be applied to them; jit/GSPMD
+            # reshards as needed.
+            st = _host_rows_to_state(
+                host, rows, jnp.asarray if sharding is not None else put
+            )
+            out = _lbfgs_segment_impl(
+                st, put(x[base[rows]]), put(y[base[rows]]), put(mask[base[rows]]),
+                config, backend, seg,
+            )
+            _writeback(host, real, out)
+        live = live_mask()
+        iters_done += seg
+
+    params = host["params"]
+    value = host["value"]
+    it_cell = host["it_cell"]
+    converged = (host["gnorm"] <= config.grad_tol) | (
+        host["plateau"] >= config.ftol_patience
+    )
+    if r > 1:
+        nll = np.where(np.isfinite(value), value, np.inf).reshape(r, b)
+        best = np.argmin(nll, axis=0)
+        sel = best * b + np.arange(b)
+        params, value, it_cell, converged = (
+            params[sel], value[sel], it_cell[sel], converged[sel]
+        )
+    return OptimizeResult(
+        log_hypers=params, nll=value, iters=it_cell, converged=converged
     )

@@ -14,6 +14,7 @@ from optimalinterpolation_tpu.models.optimizer import (
     OptimizeConfig,
     optimize_mll,
     optimize_mll_batch,
+    optimize_mll_chunked,
 )
 
 from . import oracle
@@ -78,6 +79,95 @@ def test_batch_matches_per_cell():
             float(batch.nll[i]), float(single.nll), rtol=1e-5,
             err_msg=f"cell {i}: batched vs single optimization diverged",
         )
+
+
+def _padded_cells(seeds, n=48, nmax=64):
+    cells = [_make_cell(s, n=n) for s in seeds]
+    b = len(cells)
+    xs = np.zeros((b, nmax, 3), np.float64)
+    ys = np.zeros((b, nmax), np.float64)
+    masks = np.zeros((b, nmax), np.float64)
+    for i, (x, y) in enumerate(cells):
+        xs[i, : len(y)] = x
+        ys[i, : len(y)] = y
+        masks[i, : len(y)] = 1.0
+    return xs, ys, masks
+
+
+@pytest.mark.parametrize("restarts", [1, 2])
+def test_chunked_compaction_matches_monolithic(restarts):
+    """Segment+compact driver is trajectory-identical to one big batch.
+
+    Every in-program update is a row-wise select, so re-packing live cells
+    into different chunks between segments must not change any cell's result
+    (this is the property that makes compaction safe in the production
+    pipeline)."""
+    xs, ys, masks = _padded_cells(range(7))
+    b = xs.shape[0]
+    cfg = OptimizeConfig(max_iters=40, restarts=restarts)
+    h0_np = np.tile(X0[None], (b, 1))
+
+    mono = optimize_mll_batch(
+        jnp.asarray(h0_np), jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks), cfg
+    )
+    # chunk of 3 forces padding (7 -> 3+3+1+2pad) and multiple segments
+    chunked = optimize_mll_chunked(
+        h0_np, xs, ys, masks, cfg, chunk_rows=3, segment_iters=7
+    )
+    np.testing.assert_allclose(np.asarray(mono.nll), chunked.nll, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(mono.log_hypers), chunked.log_hypers, rtol=1e-10
+    )
+    np.testing.assert_array_equal(np.asarray(mono.converged), chunked.converged)
+    np.testing.assert_array_equal(np.asarray(mono.iters), chunked.iters)
+
+
+def test_plateau_stop_matches_full_run_predictions():
+    """ftol_abs plateau stop: fewer iterations, same predictions.
+
+    scipy-CG (the reference optimizer) also exits on its own internal
+    criteria; the surface that must match is the prediction, and sub-0.01-nat
+    NLL movement cannot shift it at the 1e-4 m level."""
+    xs, ys, masks = _padded_cells(range(4))
+    b = xs.shape[0]
+    h0 = jnp.tile(jnp.asarray(X0)[None], (b, 1))
+    full = optimize_mll_batch(
+        jnp.asarray(h0), jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks),
+        OptimizeConfig(max_iters=80),
+    )
+    plat = optimize_mll_batch(
+        jnp.asarray(h0), jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks),
+        OptimizeConfig(max_iters=80, ftol_abs=1e-3, ftol_patience=3),
+    )
+    assert (np.asarray(plat.iters) <= np.asarray(full.iters)).all()
+    assert np.asarray(plat.converged).all()
+    # NLL within a small fraction of a nat of the full run
+    np.testing.assert_allclose(
+        np.asarray(plat.nll), np.asarray(full.nll), atol=0.25
+    )
+    xstar = np.tile(np.array([[2e4, -1e4, 4.0]]), (b, 1))
+    from optimalinterpolation_tpu.models.exact_gp_batch import predict_batch
+
+    pf = predict_batch(full.log_hypers, jnp.asarray(xs), jnp.asarray(ys) + 0.1,
+                       jnp.asarray(xstar), jnp.asarray(masks),
+                       jnp.full((b,), 0.1))
+    pp = predict_batch(plat.log_hypers, jnp.asarray(xs), jnp.asarray(ys) + 0.1,
+                       jnp.asarray(xstar), jnp.asarray(masks),
+                       jnp.full((b,), 0.1))
+    np.testing.assert_allclose(np.asarray(pp.mean), np.asarray(pf.mean), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pp.std), np.asarray(pf.std), atol=1e-4)
+
+
+def test_plateau_patience_one_stops_fast():
+    xs, ys, masks = _padded_cells([5])
+    h0 = jnp.asarray(X0)[None]
+    res = optimize_mll_batch(
+        h0, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks),
+        OptimizeConfig(max_iters=60, ftol_abs=1e9, ftol_patience=1),
+    )
+    # every accepted step improves by < 1e9 nats, so one iteration suffices
+    assert int(res.iters[0]) <= 1
+    assert bool(res.converged[0])
 
 
 def test_multi_restart_never_worse():
