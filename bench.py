@@ -73,7 +73,7 @@ def main():
     cfg = DailyConfig(
         window_days=N_DAYS,
         radius_km=300.0,
-        opt=OptimizeConfig(max_iters=50, grad_tol=1e-3),
+        opt=OptimizeConfig(max_iters=50, grad_tol=1e-3, ftol_abs=1e-3),
         dtype="float32",
         jitter=1e-6,
     )

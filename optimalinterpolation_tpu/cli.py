@@ -41,6 +41,11 @@ def _add_daily_args(p):
     p.add_argument("--kernel", default="matern32",
                    choices=["matern12", "matern32", "matern52", "se"])
     p.add_argument("--max-iters", type=int, default=60)
+    p.add_argument("--ftol", type=float, default=1e-3,
+                   help="NLL plateau stop (nats/iteration); 0 disables and "
+                        "runs every cell to --max-iters / grad tolerance")
+    p.add_argument("--restarts", type=int, default=1,
+                   help="multi-restart optimization trajectories per cell")
     p.add_argument("--optimizer", default="lbfgs", choices=["lbfgs", "adam"])
     p.add_argument("--dtype", default="float32")
     p.add_argument("--jitter", type=float, default=1e-6)
@@ -74,7 +79,8 @@ def _configs(args):
         window_days=args.window_days,
         radius_km=args.radius_km,
         kind=Kernel(args.kernel),
-        opt=OptimizeConfig(method=args.optimizer, max_iters=args.max_iters),
+        opt=OptimizeConfig(method=args.optimizer, max_iters=args.max_iters,
+                           ftol_abs=args.ftol, restarts=args.restarts),
         dtype=args.dtype,
         jitter=args.jitter,
     )

@@ -540,6 +540,19 @@ def optimize_mll_chunked(
     """
     if config.method != "lbfgs":
         raise ValueError("optimize_mll_chunked supports method='lbfgs' only")
+    if config.restarts * log_hypers0.shape[0] <= chunk_rows:
+        # Single chunk: compaction cannot reduce work (the chunk shape is
+        # fixed); the monolithic program avoids per-segment dispatch and the
+        # extra init/segment compiles. Identical results either way.
+        put = (
+            (lambda a: jax.device_put(a, sharding))
+            if sharding is not None
+            else jnp.asarray
+        )
+        res = optimize_mll_batch(
+            put(np.asarray(log_hypers0)), put(x), put(y), put(mask), config
+        )
+        return OptimizeResult(*(np.asarray(f) for f in res))
     backend = _resolve_backend(config, x.shape[1], x.dtype)
     b = log_hypers0.shape[0]
     r = config.restarts
@@ -550,14 +563,23 @@ def optimize_mll_chunked(
 
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jnp.asarray
 
+    def _quant(n: int) -> int:
+        """Chunk size for n live cells: power-of-two menu, capped at
+        chunk_rows. Launched shapes come from a small fixed set, so programs
+        compile once per bucket capacity and are shared across days/runs
+        (and shrink as compaction drains the bucket)."""
+        q = 8
+        while q < n:
+            q *= 2
+        return min(q, chunk_rows)
+
     def chunks_over(idx):
-        for s in range(0, idx.size, chunk_rows):
-            rows = idx[s : s + chunk_rows]
+        size = _quant(idx.size)
+        for s in range(0, idx.size, size):
+            rows = idx[s : s + size]
             n_real = rows.size
-            if n_real < chunk_rows:
-                rows = np.concatenate(
-                    [rows, np.repeat(rows[-1:], chunk_rows - n_real)]
-                )
+            if n_real < size:
+                rows = np.concatenate([rows, np.repeat(rows[-1:], size - n_real)])
             yield rows[:n_real], rows
 
     host = None

@@ -158,26 +158,37 @@ def _blocked_chol(ab):
 
     Returns (l, w, logdet, ok): l lower-block-triangular (diag blocks are
     lower-triangular L_kk), w (B, nb, BLK, BLK) = L_kk^-1.
+
+    Left-looking: column kb is updated once against all previous columns
+    (contractions touch only nonzero lower blocks), instead of the dense
+    right-looking trailing SYRK which spends half its FLOPs computing upper
+    blocks the algorithm never reads. nb^3/6 block matmuls — the N^3/3
+    Cholesky optimum.
     """
     b, nb = ab.shape[0], ab.shape[1]
     dtype = ab.dtype
+    l = jnp.zeros_like(ab)
     w = jnp.zeros((b, nb, BLK, BLK), dtype)
     logdet = jnp.zeros((b,), dtype)
     ok = jnp.ones((b,), bool)
-    a = ab
     for kb in range(nb):
-        lkk, wkk, ld, okk = _factor_invert(a[:, kb, kb])
+        dacc = ab[:, kb, kb]
+        if kb > 0:
+            hist = l[:, kb, :kb]  # (B, k, BLK, BLK)
+            dacc = dacc - _ein("bkxy,bkzy->bxz", hist, hist)
+        lkk, wkk, ld, okk = _factor_invert(dacc)
         logdet = logdet + ld
         ok = jnp.logical_and(ok, okk)
         w = w.at[:, kb].set(wkk)
-        a = a.at[:, kb, kb].set(lkk)
+        l = l.at[:, kb, kb].set(lkk)
         if kb + 1 < nb:
-            pan = a[:, kb + 1 :, kb]  # (B, r, BLK, BLK)
-            lpan = _ein("brxy,bzy->brxz", pan, wkk)  # A W^T
-            a = a.at[:, kb + 1 :, kb].set(lpan)
-            upd = _ein("brxy,bszy->brsxz", lpan, lpan)
-            a = a.at[:, kb + 1 :, kb + 1 :].add(-upd)
-    return a, w, logdet, ok
+            pacc = ab[:, kb + 1 :, kb]  # (B, r, BLK, BLK)
+            if kb > 0:
+                pacc = pacc - _ein(
+                    "bikxy,bkzy->bixz", l[:, kb + 1 :, :kb], l[:, kb, :kb]
+                )
+            l = l.at[:, kb + 1 :, kb].set(_ein("bixy,bzy->bixz", pacc, wkk))
+    return l, w, logdet, ok
 
 
 def _fwd_solve(l, w, rhs):
@@ -261,8 +272,18 @@ def gp_nll_and_grad_blocked(
 
     alpha = _bwd_solve(l, w, z).reshape(b, n)  # (B, N)
     t = _tinv(l, w)
-    # K^-1 = T^T T: (B, nb_i, nb_j, BLK, BLK) with contraction over block-rows
-    kinv = _ein("bkixy,bkjxz->bijyz", t, t)
+    # K^-1 = T^T T. T is block-lower-triangular (T_ki = 0 for k < i), and
+    # K^-1 is symmetric, so only the lower block triangle is computed, with
+    # the contraction restricted to the nonzero k >= i range: ~nb^3/6 block
+    # matmuls instead of the nb^3 of the dense einsum (6x fewer FLOPs, and
+    # the dominant term of the whole gradient at N = 4096).
+    low = jnp.zeros((b, nb, nb, BLK, BLK), t.dtype)
+    for i in range(nb):
+        row = _ein("bkxy,bkjxz->bjyz", t[:, i:, i], t[:, i:, : i + 1])
+        low = low.at[:, i, : i + 1].set(row)
+    eye_b = jnp.eye(nb, dtype=t.dtype)
+    diag = jnp.einsum("biixy,ij->bijxy", low, eye_b)  # diagonal blocks only
+    kinv = low + jnp.swapaxes(jnp.swapaxes(low, 1, 2), 3, 4) - diag
     kinv = kinv.transpose(0, 1, 3, 2, 4).reshape(b, n, n)
     q = kinv - alpha[:, :, None] * alpha[:, None, :]
 

@@ -41,7 +41,11 @@ from optimalinterpolation_tpu.data.reader import ObsDataset
 from optimalinterpolation_tpu.data.window import flatten_window
 from optimalinterpolation_tpu.models import exact_gp
 from optimalinterpolation_tpu.models.exact_gp_batch import predict_batch
-from optimalinterpolation_tpu.models.optimizer import OptimizeConfig, optimize_mll_batch
+from optimalinterpolation_tpu.models.optimizer import (
+    OptimizeConfig,
+    optimize_mll_batch,
+    optimize_mll_chunked,
+)
 from optimalinterpolation_tpu.ops import kernels as K
 from optimalinterpolation_tpu.ops.smoothing import smooth_hyper_field
 
@@ -63,6 +67,11 @@ class DailyConfig:
     batch_multiple: int = 8
     dtype: str = "float32"
     jitter: float = 0.0
+    # L-BFGS iterations per program launch in the segmented pass-1 driver
+    # (models.optimizer.optimize_mll_chunked): between segments, converged
+    # cells are compacted away host-side. Smaller = finer compaction + shorter
+    # programs; larger = fewer host round-trips.
+    opt_segment_iters: int = 10
     # HBM working-set budget for ONE chunk of cells. The NLL + its autodiff
     # through Cholesky keeps ~MEM_BUFFERS live (N, N) matrices per cell;
     # without chunking a populous bucket at N = 2048 would request tens of
@@ -165,12 +174,29 @@ def _chunk_rows(
 def _chunks_of(b: NeighborhoodBatch, chunk: int):
     """Split a bucket into fixed-size chunks (last one padded to ``chunk``).
 
-    Every chunk has identical shapes, so each bucket capacity compiles the
-    optimize/predict programs exactly once regardless of the cell count.
+    Chunk sizes come from a power-of-two menu capped at ``chunk``, so every
+    program shape belongs to a small fixed set shared across chunks, days,
+    and runs — one compile per (bucket capacity, chunk size) for a whole
+    season, regardless of how cell counts vary.
     """
     total = len(b)
+    q = 8
+    while q < total:
+        q *= 2
+    chunk = min(q, chunk)
     if total <= chunk:
-        yield b
+        pad = chunk - total
+        if pad:
+            z = lambda a: np.concatenate(  # noqa: E731
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)]
+            )
+            yield NeighborhoodBatch(
+                x=z(b.x), z=z(b.z), mask=z(b.mask), xstar=z(b.xstar),
+                cell_index=np.concatenate([b.cell_index, np.full(pad, -1, np.int64)]),
+                n_valid_cells=b.n_valid_cells,
+            )
+        else:
+            yield b
         return
     for s in range(0, total, chunk):
         e = min(s + chunk, total)
@@ -285,22 +311,42 @@ def interpolate_daily(
     for full_b in batches:
       chunk = _chunk_rows(full_b.capacity, cfg.batch_multiple, cfg.max_chunk_bytes,
                           dtype.itemsize, restarts=cfg.opt.restarts)
+      if opt_cfg.method == "lbfgs":
+        # Segmented + compacted optimization over the whole bucket: converged
+        # cells stop costing device time instead of idling in lockstep.
+        h0_all = np.tile(np.asarray(x0)[None], (len(full_b), 1))
+        opt_all = optimize_mll_chunked(
+            h0_all, full_b.x, full_b.z - np.asarray(prior_mean, dtype),
+            full_b.mask, opt_cfg, chunk_rows=chunk,
+            segment_iters=cfg.opt_segment_iters, sharding=cell_sharding,
+        )
+        lh_all = np.asarray(opt_all.log_hypers)
+      else:
+        lh_all = None
+      row0 = 0
       for b in _chunks_of(full_b, chunk):
         bx = _put(jnp.asarray(b.x), cell_sharding)
         bz = _put(jnp.asarray(b.z), cell_sharding)
         bm = _put(jnp.asarray(b.mask), cell_sharding)
         bxs = _put(jnp.asarray(b.xstar), cell_sharding)
-        h0 = jnp.tile(x0[None], (len(b), 1))
-        h0 = _put(h0, cell_sharding)
         mean_vec = jnp.full((len(b),), prior_mean, dtype=dtype)
 
-        opt_res = optimize_mll_batch(h0, bx, bz - prior_mean, bm, opt_cfg)
+        if lh_all is not None:
+            lh = np.zeros((len(b), lh_all.shape[1]), dtype=dtype)
+            take = lh_all[row0 : row0 + len(b)]
+            lh[: len(take)] = take
+            lh_dev = _put(jnp.asarray(lh), cell_sharding)
+        else:
+            h0 = _put(jnp.tile(x0[None], (len(b), 1)), cell_sharding)
+            opt_res = optimize_mll_batch(h0, bx, bz - prior_mean, bm, opt_cfg)
+            lh_dev = opt_res.log_hypers
+        row0 += len(b)
         pred = predict_batch(
-            opt_res.log_hypers, bx, bz, bxs, bm, mean_vec,
+            lh_dev, bx, bz, bxs, bm, mean_vec,
             kind=cfg.kind, jitter=cfg.jitter,
         )
 
-        hyp = np.exp(np.asarray(opt_res.log_hypers, dtype=np.float64))
+        hyp = np.exp(np.asarray(lh_dev, dtype=np.float64))
         _scatter(grids["interp"], active_ij, b.cell_index, np.asarray(pred.mean))
         _scatter(grids["interp_error"], active_ij, b.cell_index, np.asarray(pred.std))
         _scatter(grids["lZ"], active_ij, b.cell_index, np.asarray(pred.lZ))

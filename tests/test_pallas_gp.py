@@ -117,7 +117,10 @@ def test_blocked_backend_matches_xla(rng):
     """Block-tensor large-N path (ops.blocked_gp) == XLA autodiff in f64."""
     from optimalinterpolation_tpu.ops import blocked_gp
 
-    h, x, y, mask = _problem(rng, b=2, n=256)
+    # n=384 -> nb=3 blocks: exercises the multi-column history contractions
+    # of the left-looking Cholesky and the triangle K^-1 assembly (nb=2 has
+    # degenerate k-ranges).
+    h, x, y, mask = _problem(rng, b=2, n=384)
     nb_, gb_ = blocked_gp.gp_nll_and_grad_blocked(h, x, y, mask, jitter=1e-6)
     nx, gx = _xla_vg()(h, x, y, mask)
     np.testing.assert_allclose(np.asarray(nb_), np.asarray(nx), rtol=1e-12)

@@ -134,3 +134,28 @@ def test_quicklook_precomputed_hypers_path(small_season):
     # quicklook reports the precomputed hypers unchanged
     for k, v in quick.hypers_smth.items():
         np.testing.assert_array_equal(v, full.hypers_smth[k])
+
+
+def test_chunk_shapes_come_from_po2_menu():
+    """Chunk shapes must come from a fixed power-of-two menu so compiled
+    programs are shared across days/runs regardless of active-cell counts."""
+    from optimalinterpolation_tpu.data.neighbors import NeighborhoodBatch
+    from optimalinterpolation_tpu.pipeline.daily import _chunks_of
+
+    def batch(n):
+        return NeighborhoodBatch(
+            x=np.zeros((n, 16, 3), np.float32),
+            z=np.zeros((n, 16), np.float32),
+            mask=np.zeros((n, 16), np.float32),
+            xstar=np.zeros((n, 3), np.float32),
+            cell_index=np.arange(n, dtype=np.int64),
+            n_valid_cells=n,
+        )
+
+    menu = {8, 16, 32, 64, 128}
+    for total in (3, 8, 11, 40, 100, 300):
+        sizes = [len(c) for c in _chunks_of(batch(total), 128)]
+        assert all(s in menu for s in sizes), (total, sizes)
+        # all real cells survive exactly once
+        idx = np.concatenate([c.cell_index for c in _chunks_of(batch(total), 128)])
+        assert sorted(idx[idx >= 0]) == list(range(total))
