@@ -46,6 +46,9 @@ def _add_daily_args(p):
                         "runs every cell to --max-iters / grad tolerance")
     p.add_argument("--restarts", type=int, default=1,
                    help="multi-restart optimization trajectories per cell")
+    p.add_argument("--warmstart-n", type=int, default=1024,
+                   help="optimize buckets larger than this on a strided "
+                        "subset first, then fine-tune at full N; 0 disables")
     p.add_argument("--optimizer", default="lbfgs", choices=["lbfgs", "adam"])
     p.add_argument("--dtype", default="float32")
     p.add_argument("--jitter", type=float, default=1e-6)
@@ -83,6 +86,7 @@ def _configs(args):
                            ftol_abs=args.ftol, restarts=args.restarts),
         dtype=args.dtype,
         jitter=args.jitter,
+        warmstart_n=args.warmstart_n,
     )
 
 

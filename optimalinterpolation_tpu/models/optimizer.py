@@ -33,6 +33,7 @@ __all__ = [
     "optimize_mll",
     "optimize_mll_batch",
     "optimize_mll_chunked",
+    "po2_tiles",
 ]
 
 
@@ -484,6 +485,29 @@ def optimize_mll_batch(
 # Segmented + compacted driver (the production pass-1 path)
 # ---------------------------------------------------------------------------
 
+def po2_tiles(n: int, cap: int):
+    """Yield (start, size) launch tiles covering ``n`` rows.
+
+    Sizes come from the power-of-two menu {8, 16, ..., cap}, greedy largest
+    -fitting first, with one final padded 8-row tile for any remainder — so
+    compiled program shapes form a small fixed set shared across
+    days/runs/compaction states, while padding waste stays < 8 rows (an
+    up-quantized single chunk can waste up to 50%: 1080 live cells in one
+    2048-row launch is 47% padding; this yields 1024+32+16+8 instead).
+    """
+    s = 0
+    size = 8
+    while size * 2 <= cap:
+        size *= 2
+    while size >= 8:
+        while n - s >= size:
+            yield s, size
+            s += size
+        size //= 2
+    if n - s > 0:
+        yield s, 8
+
+
 # Host-side state layout: batch axis first for row gather/scatter. These
 # fields are (m, B, ...) on device.
 _HIST_FIELDS = ("s_h", "y_h", "rho_h")
@@ -540,20 +564,35 @@ def optimize_mll_chunked(
     """
     if config.method != "lbfgs":
         raise ValueError("optimize_mll_chunked supports method='lbfgs' only")
+    backend = _resolve_backend(config, x.shape[1], x.dtype)
     if config.restarts * log_hypers0.shape[0] <= chunk_rows:
-        # Single chunk: compaction cannot reduce work (the chunk shape is
-        # fixed); the monolithic program avoids per-segment dispatch and the
-        # extra init/segment compiles. Identical results either way.
-        put = (
+        # Single-chunk bucket: compaction cannot shrink the launched shape
+        # enough to beat the per-launch overhead of init + segment sweeps
+        # (~11 launches vs 1), so run one monolithic program. Rows are padded
+        # up to the power-of-two menu (duplicating row 0, which just
+        # converges in lockstep) so the compiled shape is shared across
+        # days/runs instead of recompiling for every distinct cell count.
+        b_real = log_hypers0.shape[0]
+        n_rows = config.restarts * b_real
+        size = 8
+        while size < n_rows:
+            size *= 2
+        size = min(size, chunk_rows)
+        pad = max(0, size - b_real) if config.restarts == 1 else 0
+        if pad and config.restarts == 1:
+            rep = lambda a: np.concatenate(  # noqa: E731
+                [np.asarray(a), np.repeat(np.asarray(a[:1]), pad, axis=0)]
+            )
+            h0p, xp, yp, mp = rep(log_hypers0), rep(x), rep(y), rep(mask)
+        else:
+            h0p, xp, yp, mp = np.asarray(log_hypers0), x, y, mask
+        put1 = (
             (lambda a: jax.device_put(a, sharding))
             if sharding is not None
             else jnp.asarray
         )
-        res = optimize_mll_batch(
-            put(np.asarray(log_hypers0)), put(x), put(y), put(mask), config
-        )
-        return OptimizeResult(*(np.asarray(f) for f in res))
-    backend = _resolve_backend(config, x.shape[1], x.dtype)
+        res = optimize_mll_batch(put1(h0p), put1(xp), put1(yp), put1(mp), config)
+        return OptimizeResult(*(np.asarray(f)[:b_real] for f in res))
     b = log_hypers0.shape[0]
     r = config.restarts
     offs = np.asarray(_RESTART_OFFSETS[:r], dtype=log_hypers0.dtype)
@@ -563,25 +602,19 @@ def optimize_mll_chunked(
 
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jnp.asarray
 
-    def _quant(n: int) -> int:
-        """Chunk size for n live cells: power-of-two menu, capped at
-        chunk_rows. Launched shapes come from a small fixed set, so programs
-        compile once per bucket capacity and are shared across days/runs
-        (and shrink as compaction drains the bucket)."""
-        q = 8
-        while q < n:
-            q *= 2
-        return min(q, chunk_rows)
-
     def chunks_over(idx):
-        size = _quant(idx.size)
-        for s in range(0, idx.size, size):
+        for s, size in po2_tiles(idx.size, chunk_rows):
             rows = idx[s : s + size]
             n_real = rows.size
             if n_real < size:
                 rows = np.concatenate([rows, np.repeat(rows[-1:], size - n_real)])
             yield rows[:n_real], rows
 
+    # Synchronous launch->fetch per chunk. Do NOT queue multiple in-flight
+    # executions: measured on the tunneled TPU runtime, enqueue-all-then-
+    # drain made identical cached programs 10-16x slower (the tunnel
+    # serializes pathologically under concurrent pending executions), while
+    # per-launch overhead in synchronous order is a few hundred ms.
     host = None
     all_idx = np.arange(b_tot)
     for real, rows in chunks_over(all_idx):

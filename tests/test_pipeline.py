@@ -136,6 +136,67 @@ def test_quicklook_precomputed_hypers_path(small_season):
         np.testing.assert_array_equal(v, full.hypers_smth[k])
 
 
+def test_permuted_prefix_subsets_are_nested_uniform_subsamples():
+    from optimalinterpolation_tpu.data.neighbors import NeighborhoodBatch
+    from optimalinterpolation_tpu.pipeline.daily import (
+        _permute_valid_points,
+        _prefix_subset,
+    )
+
+    rng = np.random.default_rng(0)
+    nb, cap = 3, 40
+    x = rng.normal(size=(nb, cap, 3)).astype(np.float64)
+    z = rng.normal(size=(nb, cap)).astype(np.float64)
+    mask = np.zeros((nb, cap))
+    counts = (40, 13, 0)  # full, undersize, empty rows
+    for r, k in enumerate(counts):
+        mask[r, :k] = 1.0
+    b = NeighborhoodBatch(
+        x=x.copy(), z=z.copy(), mask=mask, xstar=np.zeros((nb, 3)),
+        cell_index=np.arange(nb, dtype=np.int64), n_valid_cells=nb,
+    )
+    _permute_valid_points(b)
+    # the permutation preserves each row's (point, obs) pairs as a set
+    for r, k in enumerate(counts):
+        orig = {tuple(x[r, i]) + (z[r, i],) for i in range(k)}
+        perm = {tuple(b.x[r, i]) + (b.z[r, i],) for i in range(k)}
+        assert orig == perm
+        # padding slots untouched
+        np.testing.assert_array_equal(b.x[r, k:], x[r, k:])
+    # prefixes are nested: the 8-subset is the head of the 16-subset
+    s8 = _prefix_subset(b, 8)
+    s16 = _prefix_subset(b, 16)
+    np.testing.assert_array_equal(s16[0][:, :8], s8[0])
+    np.testing.assert_array_equal(s16[2][:, :8], s8[2])
+    # undersize row keeps its true count in the mask slice
+    assert s16[2][1].sum() == 13
+    assert s8[2][1].sum() == 8
+
+
+def test_pipeline_warmstart_path(small_season):
+    """Subsampled warm start (DailyConfig.warmstart_n) must keep the same
+    quality bar as cold-start optimization while running buckets > n through
+    the two-stage pre-optimize + fine-tune path."""
+    ds, truth, dates = small_season
+    cfg = DailyConfig(
+        window_days=9,
+        radius_km=450.0,
+        opt=OptimizeConfig(max_iters=15, ftol_abs=1e-3),
+        buckets=(16, 512),  # force a bucket whose capacity exceeds warmstart_n
+        dtype="float64",
+        warmstart_n=64,
+    )
+    res = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
+    sie = ds.sie[:, :, 4]
+    active = np.isfinite(sie)
+    field = res.interp_smth
+    assert np.isfinite(field[active]).mean() > 0.9
+    rmse = np.sqrt(np.nanmean((field[active] - truth[4][active]) ** 2))
+    assert rmse < 0.06, f"warm-start RMSE {rmse:.3f} m vs truth"
+    for name, h in res.hypers.items():
+        assert np.isfinite(h[active]).mean() > 0.9, name
+
+
 def test_chunk_shapes_come_from_po2_menu():
     """Chunk shapes must come from a fixed power-of-two menu so compiled
     programs are shared across days/runs regardless of active-cell counts."""
