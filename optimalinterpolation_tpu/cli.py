@@ -49,6 +49,9 @@ def _add_daily_args(p):
     p.add_argument("--warmstart-n", type=int, default=1024,
                    help="optimize buckets larger than this on a strided "
                         "subset first, then fine-tune at full N; 0 disables")
+    p.add_argument("--seed-stride", type=int, default=3,
+                   help="spatial seeding: cold-optimize every Nth grid cell, "
+                        "warm-start the rest from the nearest seed; 0 disables")
     p.add_argument("--optimizer", default="lbfgs", choices=["lbfgs", "adam"])
     p.add_argument("--dtype", default="float32")
     p.add_argument("--jitter", type=float, default=1e-6)
@@ -87,6 +90,7 @@ def _configs(args):
         dtype=args.dtype,
         jitter=args.jitter,
         warmstart_n=args.warmstart_n,
+        spatial_seed_stride=args.seed_stride,
     )
 
 

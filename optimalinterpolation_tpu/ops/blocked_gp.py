@@ -272,45 +272,50 @@ def gp_nll_and_grad_blocked(
 
     alpha = _bwd_solve(l, w, z).reshape(b, n)  # (B, N)
     t = _tinv(l, w)
-    # K^-1 = T^T T. T is block-lower-triangular (T_ki = 0 for k < i), and
-    # K^-1 is symmetric, so only the lower block triangle is computed, with
-    # the contraction restricted to the nonzero k >= i range: ~nb^3/6 block
-    # matmuls instead of the nb^3 of the dense einsum (6x fewer FLOPs, and
-    # the dominant term of the whole gradient at N = 4096).
-    low = jnp.zeros((b, nb, nb, BLK, BLK), t.dtype)
-    for i in range(nb):
-        row = _ein("bkxy,bkjxz->bjyz", t[:, i:, i], t[:, i:, : i + 1])
-        low = low.at[:, i, : i + 1].set(row)
-    eye_b = jnp.eye(nb, dtype=t.dtype)
-    diag = jnp.einsum("biixy,ij->bijxy", low, eye_b)  # diagonal blocks only
-    kinv = low + jnp.swapaxes(jnp.swapaxes(low, 1, 2), 3, 4) - diag
-    kinv = kinv.transpose(0, 1, 3, 2, 4).reshape(b, n, n)
-    q = kinv - alpha[:, :, None] * alpha[:, None, :]
-
-    # Kernel-derivative reductions, rebuilt elementwise. Per-dimension loop
-    # instead of a materialized (B, N, N, 3) distance stack: at N = 4096 that
-    # stack alone is 1.5 GB per 8-cell chunk and (with the other transients)
-    # can OOM-kill the TPU worker mid-bench.
+    # Row-streamed gradient traces. K^-1 = T^T T with T block-lower-
+    # triangular, and both Q = K^-1 - alpha alpha^T and every dK/dtheta are
+    # symmetric, so the trace <Q, dK> = sum_i (<Q_ii, dK_ii> +
+    # 2 sum_{j<i} <Q_ij, dK_ij>) needs only the lower block triangle —
+    # computed ONE BLOCK-ROW AT A TIME and contracted against the kernel
+    # derivatives immediately. Nothing (N, N)-sized beyond A/L/T is ever
+    # materialized: the old path held K^-1, Q, d2, and 3 weight matrices
+    # (~8 full buffers, 1.5 GB+ each per 8-cell chunk at N = 4096), which
+    # capped chunk rows at the HBM budget and multiplied launch counts.
+    # Same nb^3/6 block-matmul count for the K^-1 rows.
     ell = jnp.exp(log_hypers[:, :3])
-    qx = x / ell[:, None, :]
-    d2 = sum(
-        (qx[:, :, None, d] - qx[:, None, :, d]) ** 2 for d in range(3)
-    )
-    mm = m[:, :, None] * m[:, None, :]
-    qm = q * mm
-    qmw = qm * (sf2[:, None, None] * pallas_gp._dlogell_weight(kind, d2))
-    g_ell = jnp.stack(
-        [
-            jnp.einsum(
-                "bij,bij->b", qmw, (qx[:, :, None, d] - qx[:, None, :, d]) ** 2
-            )
-            for d in range(3)
-        ],
-        axis=1,
-    )
-    kblk = sf2[:, None, None] * pallas_gp._shape_fn(kind, d2)
-    qdiag = jnp.einsum("bii,bi->b", q, m)
-    gs = jnp.einsum("bij,bij->b", qm, kblk) + jitter * sf2 * qdiag
+    qx = x / ell[:, None, :]  # (B, N, 3)
+    qxb = qx.reshape(b, nb, BLK, 3)
+    mb = m.reshape(b, nb, BLK)
+    ab_ = alpha.reshape(b, nb, BLK)
+    g_ell = jnp.zeros((b, 3), x.dtype)
+    gs = jnp.zeros((b,), x.dtype)
+    qdiag = jnp.zeros((b,), x.dtype)
+    for i in range(nb):
+        # lower-triangle block-row i of K^-1: (B, i+1, BLK, BLK); axes are
+        # (batch, column block j, row point x, column point z)
+        row = _ein("bkxy,bkjxz->bjyz", t[:, i:, i], t[:, i:, : i + 1])
+        qrow = row - jnp.einsum("bx,bjz->bjxz", ab_[:, i], ab_[:, : i + 1])
+        # double off-diagonal blocks (symmetry), once for the diagonal block
+        wgt = jnp.concatenate(
+            [jnp.full((i,), 2.0, x.dtype), jnp.ones((1,), x.dtype)]
+        )
+        qrow = qrow * wgt[None, :, None, None]
+        mrow = mb[:, i][:, None, :, None] * mb[:, : i + 1][:, :, None, :]
+        qm = qrow * mrow
+        dd = qxb[:, i][:, None, :, None, :] - qxb[:, : i + 1][:, :, None, :, :]
+        d2 = jnp.sum(dd * dd, axis=-1)  # (B, i+1, BLK, BLK)
+        qmw = qm * (sf2[:, None, None, None] * pallas_gp._dlogell_weight(kind, d2))
+        g_ell = g_ell + jnp.stack(
+            [jnp.einsum("bjxz,bjxz->b", qmw, dd[..., d] ** 2) for d in range(3)],
+            axis=1,
+        )
+        kblk = sf2[:, None, None, None] * pallas_gp._shape_fn(kind, d2)
+        gs = gs + jnp.einsum("bjxz,bjxz->b", qm, kblk)
+        # diagonal elements of Q (weight 1 in qrow's last block)
+        qdiag = qdiag + jnp.einsum(
+            "bxx,bx->b", qrow[:, i], mb[:, i]
+        )
+    gs = gs + jitter * sf2 * qdiag
     gn = sn2 * qdiag
     grad = 0.5 * jnp.concatenate([g_ell, gs[:, None], gn[:, None]], axis=1)
 

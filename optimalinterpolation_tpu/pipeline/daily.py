@@ -96,18 +96,29 @@ class DailyConfig:
     # ~8x/64x costlier per iteration and the cascade wins decisively.
     # 0 disables (every cell runs full-N from the reference x0).
     warmstart_n: int = 1024
+    # Spatial seeding: optimize only every stride-th grid cell from cold
+    # start, nearest-fill their optimized hypers across the grid, then
+    # optimize ALL cells initialized from their nearest seed (hyper fields
+    # vary smoothly in space — that is why the reference smooths them).
+    # Cold-start cost drops to ~1/stride^2 of the cells; the rest converge
+    # in a few fine iterations. Skipped automatically when day-to-day
+    # chained inits (init_hypers) are provided. 0/1 disables.
+    spatial_seed_stride: int = 3
     # Plateau tolerance (nats) for cascade stages: a stage's job is to land
     # in the next stage's basin, not to polish a subsample's optimum that the
     # added data will move anyway — so stages stop an order of magnitude
     # earlier than the fine pass (which uses opt.ftol_abs).
     warmstart_ftol: float = 0.1
-    # HBM working-set budget for ONE chunk of cells. The NLL + its autodiff
-    # through Cholesky keeps ~MEM_BUFFERS live (N, N) matrices per cell;
-    # without chunking a populous bucket at N = 2048 would request tens of
-    # GB in one program and kill the TPU worker. Buckets are split into
-    # fixed-size chunks (last chunk padded, so each (chunk, N) shape compiles
-    # exactly once per bucket capacity).
-    max_chunk_bytes: float = 4e9
+    # HBM working-set budget for ONE chunk of cells. The NLL/gradient keeps
+    # ~MEM_BUFFERS live (N, N) matrices per cell; without chunking a populous
+    # bucket at N = 2048 would request tens of GB in one program and kill
+    # the TPU worker. Buckets are split into power-of-two launch tiles
+    # (po2_tiles) whose shapes compile once per bucket capacity. 8e9 of the
+    # chip's 16 GB: with the row-streamed blocked gradient (7 buffers/cell)
+    # this runs 48-row chunks at N = 2048 and 16-row at N = 4096 — 2-3x
+    # fewer launches than the old 4e9/12-buffer budget, which matters on a
+    # runtime that charges seconds per launch in degraded phases.
+    max_chunk_bytes: float = 8e9
     # Smoothing (reference: std=2 at 25 km else 1, GPR_CS2S3.py:299-302;
     # clip vmaxes :303-307 — ell_t vmax is T, sf2 0.1, sn2 0.05, ell_xy 2*radius)
     smooth_std: Optional[float] = None
@@ -167,10 +178,11 @@ def _put(arr, sharding):
 
 # Live (N, N) buffers per cell in HBM, by backend: the fused Pallas kernel
 # keeps everything VMEM-resident (inputs only in HBM); the blocked einsum
-# path holds A + T block tensors + gradient transients (~12); the XLA
-# autodiff path ~10 (K, A, L, VJP residuals, workspace).
+# path holds A blocks + L + T plus row-streamed gradient transients (~7
+# since the trace contractions consume K^-1 one block-row at a time); the
+# XLA autodiff path ~10 (K, A, L, VJP residuals, workspace).
 _MEM_BUFFERS = 10
-_MEM_BUFFERS_BLOCKED = 12
+_MEM_BUFFERS_BLOCKED = 7
 # Cap pallas chunks by EXPECTED PROGRAM DURATION, not just memory: one
 # optimize program runs the whole lockstep L-BFGS for its chunk on-device;
 # a ~200 s single program reliably kills the (watchdogged) TPU worker, and
@@ -257,6 +269,8 @@ def interpolate_daily(
     config: DailyConfig = DailyConfig(),
     cell_sharding=None,
     precomputed_hypers: Optional[dict] = None,
+    init_hypers: Optional[dict] = None,
+    _hypers_only: bool = False,
 ) -> DailyResult:
     """Produce one daily interpolated field with uncertainty.
 
@@ -274,12 +288,64 @@ def interpolate_daily(
         Pass-1 optimization AND smoothing are skipped; every cell is
         predicted once with its precomputed hypers — this is how the 232
         shipped quicklook NetCDFs were produced.
+      init_hypers: optional per-cell INITIALIZATION fields (same format as
+        ``precomputed_hypers``): cells whose init values are finite start
+        pass-1 optimization from them instead of the reference x0, and the
+        subsample warm-start cascade is skipped (a full-N optimum from an
+        overlapping window beats any subsample optimum as a start).
+        Consecutive days share T-1 of their T window days, so season runs
+        chain each day's optimized hypers into the next
+        (pipeline.season.run_season) and re-converge in a few iterations.
+        Optimization still runs to the same tolerances — this changes the
+        path, not the target, unlike ``precomputed_hypers`` which skips
+        optimization entirely.
     """
     cfg = config
     t_mid = cfg.t_mid
     dtype = np.dtype(cfg.dtype)
     date = ds.dates[day + t_mid]
     sie_day = ds.sie[:, :, day + t_mid]
+
+    if (
+        cfg.spatial_seed_stride > 1
+        and init_hypers is None
+        and precomputed_hypers is None
+        and cfg.opt.method == "lbfgs"
+    ):
+        # Phase A: cold-optimize the seed sublattice only (1/stride^2 of the
+        # cells; restarts + subsample cascade apply there). Phase B: optimize
+        # every cell initialized from its nearest seed's optimum.
+        from optimalinterpolation_tpu.data.regrid import nearest_fill
+
+        s = cfg.spatial_seed_stride
+        seed_keep = np.zeros(sie_day.shape, bool)
+        seed_keep[s // 2 :: s, s // 2 :: s] = True
+        n_seeds = int((seed_keep & np.isfinite(sie_day)).sum())
+        if n_seeds >= 8:  # enough seeds for the fill to be meaningful
+            import copy as _copy
+
+            seed_sie = ds.sie.copy()
+            seed_sie[~seed_keep] = np.nan
+            ds_seed = _copy.copy(ds)
+            ds_seed.sie = seed_sie
+            flat_cfg = dataclasses.replace(cfg, spatial_seed_stride=0)
+            t_seed = time.time()
+            seed_res = interpolate_daily(
+                ds_seed, day, prior_mean, flat_cfg, cell_sharding=cell_sharding,
+                _hypers_only=True,
+            )
+            init = {
+                name: nearest_fill(seed_res.hypers[name], ds.x, ds.y)
+                for name in HYPER_NAMES
+            }
+            logger.info(
+                "spatial seeding: %d seed cells in %.1fs",
+                n_seeds, time.time() - t_seed,
+            )
+            return interpolate_daily(
+                ds, day, prior_mean, flat_cfg, cell_sharding=cell_sharding,
+                init_hypers=init,
+            )
     sat = ds.obs[:, :, :, day : day + cfg.window_days]
 
     train = flatten_window(sat, ds.x, ds.y)
@@ -346,6 +412,15 @@ def interpolate_daily(
         )
 
     x0 = exact_gp.HYPER_INIT_LOG(ds.grid_res_km * 1000.0, dtype=dtype)
+    init_at_cells = None
+    if init_hypers is not None:
+        missing = [k for k in HYPER_NAMES if k not in init_hypers]
+        if missing:
+            raise ValueError(f"init_hypers missing fields: {missing}")
+        init_at_cells = np.stack(
+            [np.asarray(init_hypers[name])[active_ij] for name in HYPER_NAMES],
+            axis=1,
+        )  # (M, 5) linear space; NaN rows fall back to x0
 
     # ---- pass 1: per-cell MLL optimization + prediction (GPR3D(opt=True)) --
     opt_cfg = dataclasses.replace(cfg.opt, kind=cfg.kind, jitter=cfg.jitter)
@@ -357,8 +432,25 @@ def interpolate_daily(
         # Segmented + compacted optimization over the whole bucket: converged
         # cells stop costing device time instead of idling in lockstep.
         h0_all = np.tile(np.asarray(x0)[None], (len(full_b), 1))
+        chained = False
+        if init_at_cells is not None:
+            ci = full_b.cell_index
+            realr = ci >= 0
+            vals = np.full((len(full_b), 5), np.nan)
+            vals[realr] = init_at_cells[ci[realr]]
+            warm = np.isfinite(vals).all(axis=1)
+            h0_all[warm] = np.log(np.maximum(vals[warm], 1e-300)).astype(dtype)
+            # Chained inits come from a full-N optimum of an overlapping
+            # window — skip the subsample cascade when they cover the bucket
+            # (the few cold cells, e.g. newly active ice edge, just take
+            # more fine iterations and drain via compaction).
+            chained = warm.mean() > 0.5
         fine_cfg = opt_cfg
-        if cfg.warmstart_n and full_b.capacity > cfg.warmstart_n:
+        if chained:
+            # restarts probe alternative basins from x0; pointless (and 2-4x
+            # the work) when starting at yesterday's optimum.
+            fine_cfg = dataclasses.replace(opt_cfg, restarts=1)
+        if not chained and cfg.warmstart_n and full_b.capacity > cfg.warmstart_n:
             # Cascaded subsampled warm start (see DailyConfig.warmstart_n):
             # optimize on a warmstart_n-point subset, then on doubled subset
             # sizes up to N/2 — each stage O(8x) cheaper per iteration than
@@ -408,6 +500,13 @@ def interpolate_daily(
         )
       else:
         lh_all = None
+      if _hypers_only and lh_all is not None:
+        # Seed pass: only the optimized hyper fields are consumed
+        # (nearest-filled into phase-B inits) — skip the predict launches.
+        hyp = np.exp(lh_all.astype(np.float64))
+        for hi, name in enumerate(HYPER_NAMES):
+            _scatter(grids[name], active_ij, full_b.cell_index, hyp[:, hi])
+        continue
       # Synchronous launch->fetch per chunk (queued concurrent executions
       # degrade the tunneled TPU runtime 10x+; see optimize_mll_chunked).
       row0 = 0
@@ -442,6 +541,18 @@ def interpolate_daily(
           "bucket N=%d B=%d pass-1 total: %.1fs",
           full_b.capacity, len(full_b), time.time() - t_bucket,
       )
+
+    if _hypers_only:
+        return DailyResult(
+            date=date,
+            interp=grids["interp"],
+            interp_error=grids["interp_error"],
+            lZ=grids["lZ"],
+            hypers={n: grids[n] for n in HYPER_NAMES},
+            hypers_smth={n: grids[n] for n in HYPER_NAMES},
+            interp_smth=np.full(shape, np.nan),
+            interp_error_smth=np.full(shape, np.nan),
+        )
 
     # ---- smoothing of hyperparameter fields (smooth(), :299-307) ----------
     std = cfg.smoothing_std(ds.grid_res_km)

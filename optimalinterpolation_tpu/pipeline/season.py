@@ -55,6 +55,12 @@ class SeasonConfig:
     write_pickles: bool = True
     write_quicklook: bool = True
     resume: bool = True  # skip days whose outputs already exist
+    # Chain each day's optimized per-cell hypers into the next day's pass-1
+    # initialization (interpolate_daily init_hypers): consecutive windows
+    # share T-1 days, so warm-started cells re-converge in a few iterations
+    # instead of ~30 from the reference x0. Off = every day cold-starts
+    # (bit-reproducible per day regardless of which days ran before).
+    chain_warmstart: bool = True
 
 
 def run_season(
@@ -85,7 +91,10 @@ def run_season(
         proj = PolarStereo.from_boundinglat(60.0, 0.0)
         lon, lat = proj.inverse(ds.x, ds.y)
 
+    from optimalinterpolation_tpu.pipeline.daily import HYPER_NAMES
+
     results = []
+    chain = None  # previous day's per-cell optimized hyper fields
     for day in days:
         date = ds.dates[day + cfg.daily.t_mid]
         pkl_path = os.path.join(
@@ -93,6 +102,16 @@ def run_season(
         )
         if cfg.resume and cfg.write_pickles and os.path.exists(pkl_path):
             log(f"[season] {date}: exists, skipping (resume)")
+            if cfg.chain_warmstart:
+                # keep the chain alive across resumed days: the written
+                # pickle carries the per-cell hyper fields
+                try:
+                    from optimalinterpolation_tpu.io.pickles import load_pickle
+
+                    prev = load_pickle(pkl_path)
+                    chain = {n: prev[f"{date}_{n}"] for n in HYPER_NAMES}
+                except Exception:
+                    pass
             continue
         if prior_fn is not None:
             prior = prior_fn(day)
@@ -105,7 +124,10 @@ def run_season(
         res = interpolate_daily(
             ds, day, prior, cfg.daily, cell_sharding=cell_sharding,
             precomputed_hypers=precomputed_hypers,
+            init_hypers=chain if cfg.chain_warmstart else None,
         )
+        if cfg.chain_warmstart and precomputed_hypers is None:
+            chain = res.hypers
         n_cells = int(np.isfinite(res.interp).sum())
         log(
             f"[season] {date}: {n_cells} cells in {time.time() - t0:.1f}s "

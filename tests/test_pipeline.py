@@ -197,6 +197,68 @@ def test_pipeline_warmstart_path(small_season):
         assert np.isfinite(h[active]).mean() > 0.9, name
 
 
+def test_init_hypers_chained_start_reaches_same_optimum(small_season):
+    """init_hypers (day-to-day chaining): starting pass-1 from a previous
+    optimum must reach the same predictions — it changes the optimization
+    path, not the target (unlike precomputed_hypers, which skips opt)."""
+    ds, truth, dates = small_season
+    cfg = DailyConfig(
+        window_days=9,
+        radius_km=450.0,
+        opt=OptimizeConfig(max_iters=15, ftol_abs=1e-3),
+        buckets=(128, 256, 512),
+        dtype="float64",
+    )
+    cold = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
+    warm = interpolate_daily(
+        ds, day=0, prior_mean=0.15, config=cfg, init_hypers=cold.hypers
+    )
+    # Warm start continues refining from where the (max_iters-truncated)
+    # cold run stopped, so predictions agree to mm level and quality vs the
+    # synthetic truth is at least as good.
+    sie = ds.sie[:, :, 4]
+    active = np.isfinite(sie)
+    both = active & np.isfinite(cold.interp) & np.isfinite(warm.interp)
+    assert both.sum() > 50
+    np.testing.assert_allclose(warm.interp[both], cold.interp[both], atol=2e-2)
+    rmse_w = np.sqrt(np.nanmean((warm.interp_smth[active] - truth[4][active]) ** 2))
+    rmse_c = np.sqrt(np.nanmean((cold.interp_smth[active] - truth[4][active]) ** 2))
+    assert rmse_w < rmse_c + 5e-3
+    assert rmse_w < 0.06
+
+
+def test_spatial_seeding_two_phase(tmp_path):
+    """spatial_seed_stride: phase A optimizes the seed sublattice, phase B
+    warm-starts every cell from its nearest seed; quality must match the
+    cold two-pass run."""
+    outdir = str(tmp_path)
+    truth, dates = make_synthetic_season(
+        outdir, grid_res_km=125, n_days=9, seed=5, noise_std=0.03,
+        tracks_per_day=(5, 2, 4, 4),
+    )
+    ds = read_freeboard_season(outdir, 125, "2018-2019")
+    sie = ds.sie.copy()
+    keep = np.zeros(sie.shape[:2], bool)
+    keep[1::2, 1::2] = True  # intersects the stride-3 seed lattice [1::3]
+    ij = np.nonzero(~keep)
+    sie[ij[0], ij[1], :] = np.nan
+    ds.sie = sie
+
+    cfg = DailyConfig(
+        window_days=9,
+        radius_km=450.0,
+        opt=OptimizeConfig(max_iters=15, ftol_abs=1e-3),
+        buckets=(128, 256, 512),
+        dtype="float64",
+        spatial_seed_stride=3,
+    )
+    res = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
+    active = np.isfinite(ds.sie[:, :, 4])
+    assert np.isfinite(res.interp_smth[active]).mean() > 0.9
+    rmse = np.sqrt(np.nanmean((res.interp_smth[active] - truth[4][active]) ** 2))
+    assert rmse < 0.06, f"seeded RMSE {rmse:.3f} m vs truth"
+
+
 def test_chunk_shapes_come_from_po2_menu():
     """Chunk shapes must come from a fixed power-of-two menu so compiled
     programs are shared across days/runs regardless of active-cell counts."""
