@@ -87,19 +87,16 @@ def main():
         jitter=1e-6,
     )
 
-    # Warm-up: compile every bucket-shape program on a ~1.5% cell subset
-    # (chunk shapes are fixed per bucket, so the tiny run compiles exactly
-    # the executables the timed run uses; the persistent cache makes later
-    # invocations skip this too).
-    from optimalinterpolation_tpu.data.reader import read_freeboard_season
-
-    warm = read_freeboard_season(CACHE, GRID_RES_KM, "2018-2019")
-    wsie = warm.sie.copy()
-    rng = np.random.default_rng(1)
-    wdrop = rng.random(wsie.shape[:2]) > 0.015
-    wsie[wdrop] = np.nan
-    warm.sie = wsie
-    interpolate_daily(warm, day=0, prior_mean=0.15, config=cfg)
+    # Warm-up: one full-scale pass on a DIFFERENT cell subsample. Launch-tile
+    # shapes depend on per-bucket populations, and on the tunneled TPU
+    # runtime every distinct executable costs ~10-40 s of per-process load on
+    # first execution (measured; independent of the persistent compile
+    # cache) — a tiny warm-up subset touches only the small tiles and leaves
+    # those loads inside the timed passes. A same-scale warm-up executes the
+    # same tile decomposition the timed passes use (the coarse TILE_MENU
+    # makes the decomposition insensitive to the few-% population jitter
+    # between subsample seeds).
+    interpolate_daily(subsampled(99), day=0, prior_mean=0.15, config=cfg)
 
     # Best of two timed passes: the tunneled TPU runtime's throughput swings
     # >2x on ~10-minute scales (launch latency varies from ~0.3s to tens of

@@ -33,7 +33,8 @@ __all__ = [
     "optimize_mll",
     "optimize_mll_batch",
     "optimize_mll_chunked",
-    "po2_tiles",
+    "launch_tiles",
+    "TILE_MENU",
 ]
 
 
@@ -154,8 +155,17 @@ def _resolve_backend(config: OptimizeConfig, n: int, dtype) -> str:
     return "xla"
 
 
-def _batched_fns(config: OptimizeConfig, backend: str, x, y, mask):
-    """(value_fn, value_and_grad_fn) mapping (B, 5) log-hypers -> (B,) / (B, 5)."""
+def _batched_fns(kind: K.Kernel, jitter: float, backend: str, x, y, mask):
+    """(value_fn, value_and_grad_fn) mapping (B, 5) log-hypers -> (B,) / (B, 5).
+
+    Keyed by (kind, jitter, backend) only — convergence knobs are TRACED
+    runtime values (see ``_Knobs``), so warm-start cascade stages, the fine
+    pass, and season-chained runs with different tolerances all share one
+    compiled executable per launch shape. On the tunneled TPU runtime each
+    distinct executable costs ~10-40 s of per-process load on first
+    execution (measured; independent of the persistent compile cache), so
+    executable count — not compile time — is what this factoring minimizes.
+    """
     if backend == "pallas":
         from optimalinterpolation_tpu.ops import pallas_gp
 
@@ -163,14 +173,12 @@ def _batched_fns(config: OptimizeConfig, backend: str, x, y, mask):
 
         def value_fn(h):
             return pallas_gp.gp_nll(
-                h, x, y, mask, kind=config.kind, jitter=config.jitter,
-                interpret=interp,
+                h, x, y, mask, kind=kind, jitter=jitter, interpret=interp,
             )
 
         def vg_fn(h):
             return pallas_gp.gp_nll_and_grad(
-                h, x, y, mask, kind=config.kind, jitter=config.jitter,
-                interpret=interp,
+                h, x, y, mask, kind=kind, jitter=jitter, interpret=interp,
             )
 
         return value_fn, vg_fn
@@ -180,22 +188,38 @@ def _batched_fns(config: OptimizeConfig, backend: str, x, y, mask):
 
         def value_fn(h):
             return blocked_gp.gp_nll_blocked(
-                h, x, y, mask, kind=config.kind, jitter=config.jitter
+                h, x, y, mask, kind=kind, jitter=jitter
             )
 
         def vg_fn(h):
             return blocked_gp.gp_nll_and_grad_blocked(
-                h, x, y, mask, kind=config.kind, jitter=config.jitter
+                h, x, y, mask, kind=kind, jitter=jitter
             )
 
         return value_fn, vg_fn
 
     scalar = lambda h, xi, yi, mi: exact_gp.neg_log_marginal_likelihood(  # noqa: E731
-        h, xi, yi, mi, kind=config.kind, jitter=config.jitter
+        h, xi, yi, mi, kind=kind, jitter=jitter
     )
     value_fn = lambda h: jax.vmap(scalar)(h, x, y, mask)  # noqa: E731
     vg_fn = lambda h: jax.vmap(jax.value_and_grad(scalar))(h, x, y, mask)  # noqa: E731
     return value_fn, vg_fn
+
+
+class _Knobs(NamedTuple):
+    """Traced convergence knobs (see ``_batched_fns`` on why not static)."""
+
+    grad_tol: jax.Array  # ()
+    ftol_abs: jax.Array  # ()
+    patience: jax.Array  # () int32
+
+    @staticmethod
+    def of(config: "OptimizeConfig", dtype) -> "_Knobs":
+        return _Knobs(
+            grad_tol=jnp.asarray(config.grad_tol, dtype),
+            ftol_abs=jnp.asarray(config.ftol_abs, dtype),
+            patience=jnp.asarray(config.ftol_patience, jnp.int32),
+        )
 
 
 class LbfgsState(NamedTuple):
@@ -221,13 +245,13 @@ class LbfgsState(NamedTuple):
     t_carry: jax.Array  # (B,) last accepted step length (line-search warm start)
     plateau: jax.Array  # (B,) int32 consecutive sub-ftol_abs improvements
 
-    def live(self, config: "OptimizeConfig") -> jax.Array:
-        going = jnp.logical_and(self.gnorm > config.grad_tol, jnp.logical_not(self.stop))
-        return jnp.logical_and(going, self.plateau < config.ftol_patience)
+    def live(self, knobs: "_Knobs") -> jax.Array:
+        going = jnp.logical_and(self.gnorm > knobs.grad_tol, jnp.logical_not(self.stop))
+        return jnp.logical_and(going, self.plateau < knobs.patience)
 
-    def converged_mask(self, config: "OptimizeConfig") -> jax.Array:
+    def converged_mask(self, knobs: "_Knobs") -> jax.Array:
         return jnp.logical_or(
-            self.gnorm <= config.grad_tol, self.plateau >= config.ftol_patience
+            self.gnorm <= knobs.grad_tol, self.plateau >= knobs.patience
         )
 
 
@@ -253,9 +277,9 @@ def _lbfgs_init(vg_fn, h0) -> LbfgsState:
     )
 
 
-def _lbfgs_segment(value_fn, vg_fn, state: LbfgsState, config: OptimizeConfig,
-                   seg_iters: int) -> LbfgsState:
-    """Advance every live cell by up to ``seg_iters`` L-BFGS iterations."""
+def _lbfgs_segment(value_fn, vg_fn, state: LbfgsState, knobs: _Knobs,
+                   seg_iters) -> LbfgsState:
+    """Advance every live cell by up to ``seg_iters`` (traced) iterations."""
     m = _LBFGS_HISTORY
     dt = state.params.dtype
     b, nparam = state.params.shape
@@ -323,14 +347,14 @@ def _lbfgs_segment(value_fn, vg_fn, state: LbfgsState, config: OptimizeConfig,
 
     def cond(carry):
         st, it = carry
-        return jnp.logical_and(it < seg_iters, jnp.any(st.live(config)))
+        return jnp.logical_and(it < seg_iters, jnp.any(st.live(knobs)))
 
     def body(carry):
         st, it = carry
         params, value, grad = st.params, st.value, st.grad
         s_h, y_h, rho_h, n_st = st.s_h, st.y_h, st.rho_h, st.n_st
         gnorm, stop, t_carry = st.gnorm, st.stop, st.t_carry
-        live = st.live(config)
+        live = st.live(knobs)
         d = direction(grad, s_h, y_h, rho_h, n_st)
         descent = (jnp.sum(grad * d, axis=1) < 0.0)[:, None]
         d = jnp.where(descent, d, -grad)
@@ -358,7 +382,7 @@ def _lbfgs_segment(value_fn, vg_fn, state: LbfgsState, config: OptimizeConfig,
         acc2 = accept[:, None]
         # Plateau accounting: accepted steps with < ftol_abs improvement
         # count up; a real improvement resets the counter.
-        small = (value - new_v) < config.ftol_abs
+        small = (value - new_v) < knobs.ftol_abs
         plateau = jnp.where(
             accept, jnp.where(small, st.plateau + 1, 0), st.plateau
         )
@@ -379,18 +403,22 @@ def _lbfgs_segment(value_fn, vg_fn, state: LbfgsState, config: OptimizeConfig,
     return out
 
 
-def _optimize_lbfgs_batched(value_fn, vg_fn, h0, config: OptimizeConfig):
-    """Batched L-BFGS over (B, 5) parameters, lockstep with per-cell selects.
-
-    Semantically identical to vmapping a scalar L-BFGS (vmap of a while_loop
-    IS lockstep-with-select), but expressed batched so the NLL evaluations can
-    go through the fused Pallas kernel, which handles its own batching and
-    cannot sit under vmap.
-    """
-    st = _lbfgs_segment(
-        value_fn, vg_fn, _lbfgs_init(vg_fn, h0), config, config.max_iters
+def _blank_state(h0) -> LbfgsState:
+    """A shape/dtype template state for the ``fresh=True`` branch of
+    :func:`_lbfgs_sweep_impl` (contents other than ``params`` are ignored —
+    the init branch rebuilds everything from ``params``)."""
+    m = _LBFGS_HISTORY
+    b, nparam = h0.shape
+    dt = h0.dtype
+    z = jnp.zeros
+    return LbfgsState(
+        params=h0, value=z((b,), dt), grad=z((b, nparam), dt),
+        s_h=z((m, b, nparam), dt), y_h=z((m, b, nparam), dt),
+        rho_h=z((m, b), dt), n_st=z((b,), jnp.int32),
+        it_cell=z((b,), jnp.int32), gnorm=z((b,), dt),
+        stop=z((b,), bool), t_carry=jnp.ones((b,), dt),
+        plateau=z((b,), jnp.int32),
     )
-    return st.params, st.value, st.it_cell, st.converged_mask(config)
 
 
 def _optimize_adam_batched(vg_fn, h0, config: OptimizeConfig):
@@ -412,33 +440,42 @@ def _optimize_adam_batched(vg_fn, h0, config: OptimizeConfig):
     return params, None, its, gnorms[-1] <= config.grad_tol
 
 
-@partial(jax.jit, static_argnames=("config", "backend"))
-def _optimize_mll_batch_impl(log_hypers0, x, y, mask, config, backend):
-    value_fn, vg_fn = _batched_fns(config, backend, x, y, mask)
-    if config.method == "lbfgs":
-        # value is carried in the L-BFGS state (updated on every acceptance),
-        # so the final NLL needs no extra evaluation.
-        params, value, iters, converged = _optimize_lbfgs_batched(
-            value_fn, vg_fn, log_hypers0, config
-        )
-    else:
-        params, _, iters, converged = _optimize_adam_batched(
-            vg_fn, log_hypers0, config
-        )
-        value = value_fn(params)
-    return OptimizeResult(params, value, iters, converged)
+@partial(jax.jit, static_argnames=("kind", "jitter", "backend"))
+def _lbfgs_run_impl(h0, x, y, mask, knobs, max_iters, kind, jitter, backend):
+    """Monolithic whole-run L-BFGS program (init + all iterations).
+
+    ``knobs``/``max_iters`` are traced, so every tolerance configuration at a
+    given launch shape shares one executable (see ``_batched_fns``). value is
+    carried in the state (updated on acceptance) — no final NLL evaluation.
+    """
+    value_fn, vg_fn = _batched_fns(kind, jitter, backend, x, y, mask)
+    st = _lbfgs_segment(
+        value_fn, vg_fn, _lbfgs_init(vg_fn, h0), knobs, max_iters
+    )
+    return OptimizeResult(st.params, st.value, st.it_cell, st.converged_mask(knobs))
 
 
 @partial(jax.jit, static_argnames=("config", "backend"))
-def _lbfgs_init_impl(h0, x, y, mask, config, backend):
-    _, vg_fn = _batched_fns(config, backend, x, y, mask)
-    return _lbfgs_init(vg_fn, h0)
+def _adam_run_impl(log_hypers0, x, y, mask, config, backend):
+    value_fn, vg_fn = _batched_fns(config.kind, config.jitter, backend, x, y, mask)
+    params, _, iters, converged = _optimize_adam_batched(
+        vg_fn, log_hypers0, config
+    )
+    return OptimizeResult(params, value_fn(params), iters, converged)
 
 
-@partial(jax.jit, static_argnames=("config", "backend", "seg_iters"))
-def _lbfgs_segment_impl(state, x, y, mask, config, backend, seg_iters):
-    value_fn, vg_fn = _batched_fns(config, backend, x, y, mask)
-    return _lbfgs_segment(value_fn, vg_fn, state, config, seg_iters)
+@partial(jax.jit, static_argnames=("kind", "jitter", "backend"))
+def _lbfgs_sweep_impl(state, x, y, mask, fresh, knobs, seg_iters,
+                      kind, jitter, backend):
+    """One segment-sweep program: optionally (re)initialize from
+    ``state.params`` (``fresh`` is a traced bool — both branches live in ONE
+    executable, halving per-process program loads vs a separate init
+    program), then advance live cells by up to ``seg_iters`` iterations."""
+    value_fn, vg_fn = _batched_fns(kind, jitter, backend, x, y, mask)
+    st = jax.lax.cond(
+        fresh, lambda s: _lbfgs_init(vg_fn, s.params), lambda s: s, state
+    )
+    return _lbfgs_segment(value_fn, vg_fn, st, knobs, seg_iters)
 
 
 def optimize_mll_batch(
@@ -460,15 +497,25 @@ def optimize_mll_batch(
     best NLL wins.
     """
     backend = _resolve_backend(config, x.shape[1], x.dtype)
+
+    def run(h0, xi, yi, mi):
+        if config.method == "lbfgs":
+            return _lbfgs_run_impl(
+                h0, xi, yi, mi, _Knobs.of(config, h0.dtype),
+                jnp.asarray(config.max_iters, jnp.int32),
+                config.kind, config.jitter, backend,
+            )
+        return _adam_run_impl(h0, xi, yi, mi, config, backend)
+
     r = config.restarts
     if r == 1:
-        return _optimize_mll_batch_impl(log_hypers0, x, y, mask, config, backend)
+        return run(log_hypers0, x, y, mask)
 
     b = log_hypers0.shape[0]
     offs = jnp.asarray(_RESTART_OFFSETS[:r], log_hypers0.dtype)  # (R, 5)
     h0 = (log_hypers0[None, :, :] + offs[:, None, :]).reshape(r * b, -1)
     tile = lambda a: jnp.concatenate([a] * r, axis=0)  # noqa: E731
-    res = _optimize_mll_batch_impl(h0, tile(x), tile(y), tile(mask), config, backend)
+    res = run(h0, tile(x), tile(y), tile(mask))
     nll = res.nll.reshape(r, b)
     nll_for_pick = jnp.where(jnp.isfinite(nll), nll, jnp.inf)
     best = jnp.argmin(nll_for_pick, axis=0)  # (B,)
@@ -485,25 +532,42 @@ def optimize_mll_batch(
 # Segmented + compacted driver (the production pass-1 path)
 # ---------------------------------------------------------------------------
 
-def po2_tiles(n: int, cap: int):
+# Launch-tile size menu. Deliberately COARSE (powers of 4, not 2): every
+# (program, tile, N) triple is a distinct executable, and on the tunneled
+# TPU runtime each distinct executable costs ~10-40 s of per-process load on
+# its first execution (measured; independent of the persistent compile
+# cache). Halving the menu halves that fixed cost per process; the price is
+# a few extra launches per sweep (up to 3 per level, ~0.3 s each warm).
+TILE_MENU = (8, 32, 128, 512, 2048)
+
+
+def launch_tiles(n: int, cap: int):
     """Yield (start, size) launch tiles covering ``n`` rows.
 
-    Sizes come from the power-of-two menu {8, 16, ..., cap}, greedy largest
-    -fitting first, with one final padded 8-row tile for any remainder — so
-    compiled program shapes form a small fixed set shared across
-    days/runs/compaction states, while padding waste stays < 8 rows (an
-    up-quantized single chunk can waste up to 50%: 1080 live cells in one
-    2048-row launch is 47% padding; this yields 1024+32+16+8 instead).
+    Sizes come from ``TILE_MENU`` trimmed to ``cap``, greedy largest-fitting
+    first, with one final padded 8-row tile for any remainder — so compiled
+    program shapes form a small fixed set shared across days/runs/compaction
+    states, while padding waste stays < 8 rows (an up-quantized single chunk
+    can waste up to 50%: 1080 live cells in one 2048-row launch is 47%
+    padding; this yields 512+512+32+8x3 instead).
     """
+    sizes = [t for t in reversed(TILE_MENU) if t <= cap] or [8]
+    menu_asc = sorted(sizes)
     s = 0
-    size = 8
-    while size * 2 <= cap:
-        size *= 2
-    while size >= 8:
+    for size in sizes:
         while n - s >= size:
             yield s, size
             s += size
-        size //= 2
+        r = n - s
+        if r > 0:
+            # Roll the tail into ONE padded tile when padding stays under
+            # half the real rows (fit <= 1.5r): launches cost real time in
+            # the tunnel's degraded phases, padded rows converge in
+            # lockstep with their duplicated source row.
+            fit = next((t for t in menu_asc if t >= r), None)
+            if fit is not None and 2 * fit <= 3 * r:
+                yield s, fit
+                return
     if n - s > 0:
         yield s, 8
 
@@ -565,19 +629,19 @@ def optimize_mll_chunked(
     if config.method != "lbfgs":
         raise ValueError("optimize_mll_chunked supports method='lbfgs' only")
     backend = _resolve_backend(config, x.shape[1], x.dtype)
-    if config.restarts * log_hypers0.shape[0] <= chunk_rows:
+    n_rows_tot = config.restarts * log_hypers0.shape[0]
+    fit = next((t for t in TILE_MENU if t >= n_rows_tot and t <= chunk_rows), None)
+    if fit is not None and (n_rows_tot <= 128 or fit <= 2 * n_rows_tot):
         # Single-chunk bucket: compaction cannot shrink the launched shape
-        # enough to beat the per-launch overhead of init + segment sweeps
+        # enough to beat the per-launch overhead of the segment sweeps
         # (~11 launches vs 1), so run one monolithic program. Rows are padded
-        # up to the power-of-two menu (duplicating row 0, which just
-        # converges in lockstep) so the compiled shape is shared across
-        # days/runs instead of recompiling for every distinct cell count.
+        # up to the TILE_MENU (duplicating row 0, which just converges in
+        # lockstep) so the compiled shape is shared across days/runs instead
+        # of recompiling for every distinct cell count. Buckets whose menu
+        # padding would exceed 2x the real rows (e.g. 600 -> 2048) fall
+        # through to the compacted driver instead of paying 3x+ lockstep.
         b_real = log_hypers0.shape[0]
-        n_rows = config.restarts * b_real
-        size = 8
-        while size < n_rows:
-            size *= 2
-        size = min(size, chunk_rows)
+        size = fit
         pad = max(0, size - b_real) if config.restarts == 1 else 0
         if pad and config.restarts == 1:
             rep = lambda a: np.concatenate(  # noqa: E731
@@ -603,31 +667,12 @@ def optimize_mll_chunked(
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jnp.asarray
 
     def chunks_over(idx):
-        for s, size in po2_tiles(idx.size, chunk_rows):
+        for s, size in launch_tiles(idx.size, chunk_rows):
             rows = idx[s : s + size]
             n_real = rows.size
             if n_real < size:
                 rows = np.concatenate([rows, np.repeat(rows[-1:], size - n_real)])
             yield rows[:n_real], rows
-
-    # Synchronous launch->fetch per chunk. Do NOT queue multiple in-flight
-    # executions: measured on the tunneled TPU runtime, enqueue-all-then-
-    # drain made identical cached programs 10-16x slower (the tunnel
-    # serializes pathologically under concurrent pending executions), while
-    # per-launch overhead in synchronous order is a few hundred ms.
-    host = None
-    all_idx = np.arange(b_tot)
-    for real, rows in chunks_over(all_idx):
-        st = _lbfgs_init_impl(
-            put(h0[rows]), put(x[base[rows]]), put(y[base[rows]]),
-            put(mask[base[rows]]), config, backend,
-        )
-        if host is None:
-            hd = _state_to_host(st)
-            host = {
-                k: np.zeros((b_tot,) + v.shape[1:], v.dtype) for k, v in hd.items()
-            }
-        _writeback(host, real, st)
 
     def live_mask():
         return (
@@ -636,25 +681,46 @@ def optimize_mll_chunked(
             & (host["plateau"] < config.ftol_patience)
         )
 
-    live = live_mask()
+    # Synchronous launch->fetch per chunk. Do NOT queue multiple in-flight
+    # executions: measured on the tunneled TPU runtime, enqueue-all-then-
+    # drain made identical cached programs 10-16x slower (the tunnel
+    # serializes pathologically under concurrent pending executions), while
+    # per-launch overhead in synchronous order is a few hundred ms.
+    # The first sweep passes fresh=True — the sweep program initializes the
+    # L-BFGS state from params in-branch (no separate init executable).
+    knobs = _Knobs.of(config, log_hypers0.dtype)
+    host = None
+    live = None
     iters_done = 0
-    while iters_done < config.max_iters and live.any():
-        seg = min(segment_iters, config.max_iters - iters_done)
-        idx = np.nonzero(live)[0]
+    fresh = True
+    while fresh or (iters_done < config.max_iters and live.any()):
+        seg = max(0, min(segment_iters, config.max_iters - iters_done))
+        idx = np.arange(b_tot) if fresh else np.nonzero(live)[0]
         for real, rows in chunks_over(idx):
-            # History fields are (m, B, ...) — cells axis second — so an
-            # axis-0 cells sharding must not be applied to them; jit/GSPMD
-            # reshards as needed.
-            st = _host_rows_to_state(
-                host, rows, jnp.asarray if sharding is not None else put
-            )
-            out = _lbfgs_segment_impl(
+            if fresh:
+                st = _blank_state(put(h0[rows]))
+            else:
+                # History fields are (m, B, ...) — cells axis second — so an
+                # axis-0 cells sharding must not be applied to them;
+                # jit/GSPMD reshards as needed.
+                st = _host_rows_to_state(
+                    host, rows, jnp.asarray if sharding is not None else put
+                )
+            out = _lbfgs_sweep_impl(
                 st, put(x[base[rows]]), put(y[base[rows]]), put(mask[base[rows]]),
-                config, backend, seg,
+                jnp.asarray(fresh), knobs, jnp.asarray(seg, jnp.int32),
+                config.kind, config.jitter, backend,
             )
+            if host is None:
+                hd = _state_to_host(out)
+                host = {
+                    k: np.zeros((b_tot,) + v.shape[1:], v.dtype)
+                    for k, v in hd.items()
+                }
             _writeback(host, real, out)
         live = live_mask()
         iters_done += seg
+        fresh = False
 
     params = host["params"]
     value = host["value"]

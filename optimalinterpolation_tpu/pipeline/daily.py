@@ -44,10 +44,11 @@ from optimalinterpolation_tpu.data.window import flatten_window
 from optimalinterpolation_tpu.models import exact_gp
 from optimalinterpolation_tpu.models.exact_gp_batch import predict_batch
 from optimalinterpolation_tpu.models.optimizer import (
+    TILE_MENU,
     OptimizeConfig,
+    launch_tiles,
     optimize_mll_batch,
     optimize_mll_chunked,
-    po2_tiles,
 )
 from optimalinterpolation_tpu.ops import kernels as K
 from optimalinterpolation_tpu.ops.smoothing import smooth_hyper_field
@@ -112,8 +113,8 @@ class DailyConfig:
     # HBM working-set budget for ONE chunk of cells. The NLL/gradient keeps
     # ~MEM_BUFFERS live (N, N) matrices per cell; without chunking a populous
     # bucket at N = 2048 would request tens of GB in one program and kill
-    # the TPU worker. Buckets are split into power-of-two launch tiles
-    # (po2_tiles) whose shapes compile once per bucket capacity. 8e9 of the
+    # the TPU worker. Buckets are split into TILE_MENU launch tiles
+    # (launch_tiles) whose shapes compile once per bucket capacity. 8e9 of the
     # chip's 16 GB: with the row-streamed blocked gradient (7 buffers/cell)
     # this runs 48-row chunks at N = 2048 and 16-row at N = 4096 — 2-3x
     # fewer launches than the old 4e9/12-buffer budget, which matters on a
@@ -212,17 +213,34 @@ def _chunk_rows(
     return max(batch_multiple, (rows // batch_multiple) * batch_multiple)
 
 
-def _chunks_of(b: NeighborhoodBatch, chunk: int):
-    """Split a bucket into launch tiles via :func:`models.optimizer.po2_tiles`.
+def _predict_tile(capacity: int, batch_multiple: int, max_chunk_bytes: float,
+                  itemsize: int) -> int:
+    """ONE fixed launch-tile size for all predict launches at this bucket
+    capacity. Predict executes in <0.5 s/launch even padded (a single
+    Cholesky per cell), so padding waste is irrelevant next to the ~10-40 s
+    per-process load every DISTINCT executable costs on the tunneled TPU
+    runtime — one tile shape per capacity means one predict executable."""
+    rows = _chunk_rows(capacity, batch_multiple, max_chunk_bytes, itemsize)
+    cap = min(512, rows)
+    return max((t for t in TILE_MENU if t <= cap), default=8)
 
-    Tile sizes come from the power-of-two menu capped at ``chunk``, so every
+
+def _chunks_of(b: NeighborhoodBatch, chunk: int, fixed_tile: Optional[int] = None):
+    """Split a bucket into launch tiles via :func:`models.optimizer.launch_tiles`.
+
+    Tile sizes come from the coarse TILE_MENU capped at ``chunk``, so every
     program shape belongs to a small fixed set shared across chunks, days,
-    and runs — one compile per (bucket capacity, tile size) for a whole
-    season, regardless of how cell counts vary — while padding waste stays
-    under 8 rows.
+    and runs — one executable per (bucket capacity, tile size) for a whole
+    season, regardless of how cell counts vary. ``fixed_tile`` instead cuts
+    the whole bucket into tiles of ONE size (last tile padded) — the predict
+    path uses this to keep a single executable per bucket.
     """
     total = len(b)
-    for s, size in po2_tiles(total, chunk):
+    if fixed_tile is not None:
+        tiles = [(s, fixed_tile) for s in range(0, total, fixed_tile)]
+    else:
+        tiles = launch_tiles(total, chunk)
+    for s, size in tiles:
         e = min(s + size, total)
         pad = size - (e - s)
         sl = lambda a: np.concatenate([a[s:e], np.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a[s:e]  # noqa: E731
@@ -382,8 +400,9 @@ def interpolate_daily(
             [hypers_smth[name][active_ij] for name in HYPER_NAMES], axis=1
         )
         for full_b in batches:
-          chunk = _chunk_rows(full_b.capacity, cfg.batch_multiple, cfg.max_chunk_bytes, dtype.itemsize)
-          for b in _chunks_of(full_b, chunk):
+          ft = _predict_tile(full_b.capacity, cfg.batch_multiple,
+                             cfg.max_chunk_bytes, dtype.itemsize)
+          for b in _chunks_of(full_b, 0, fixed_tile=ft):
             real = b.cell_index >= 0
             lh = np.zeros((len(b), 5), dtype=dtype)
             lh[real] = np.log(np.maximum(smth_at_cells[b.cell_index[real]], 1e-30))
@@ -509,8 +528,15 @@ def interpolate_daily(
         continue
       # Synchronous launch->fetch per chunk (queued concurrent executions
       # degrade the tunneled TPU runtime 10x+; see optimize_mll_chunked).
+      # After lbfgs optimization this loop is predict-only: one fixed tile
+      # shape -> one executable per bucket (see _predict_tile).
+      ft = (
+          _predict_tile(full_b.capacity, cfg.batch_multiple,
+                        cfg.max_chunk_bytes, dtype.itemsize)
+          if lh_all is not None else None
+      )
       row0 = 0
-      for b in _chunks_of(full_b, chunk):
+      for b in _chunks_of(full_b, chunk, fixed_tile=ft):
         bx = _put(jnp.asarray(b.x), cell_sharding)
         bz = _put(jnp.asarray(b.z), cell_sharding)
         bm = _put(jnp.asarray(b.mask), cell_sharding)
@@ -580,8 +606,9 @@ def interpolate_daily(
         [hypers_smth[name][active_ij] for name in HYPER_NAMES], axis=1
     )  # (M, 5) in linear space
     for full_b in batches:
-      chunk = _chunk_rows(full_b.capacity, cfg.batch_multiple, cfg.max_chunk_bytes, dtype.itemsize)
-      for b in _chunks_of(full_b, chunk):
+      ft = _predict_tile(full_b.capacity, cfg.batch_multiple,
+                         cfg.max_chunk_bytes, dtype.itemsize)
+      for b in _chunks_of(full_b, 0, fixed_tile=ft):
         real = b.cell_index >= 0
         lh = np.zeros((len(b), 5), dtype=dtype)
         lh[real] = np.log(np.maximum(smth_at_cells[b.cell_index[real]], 1e-30))

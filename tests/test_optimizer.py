@@ -102,7 +102,7 @@ def test_chunked_compaction_matches_monolithic(restarts):
     into different chunks between segments must not change any cell's result
     (this is the property that makes compaction safe in the production
     pipeline)."""
-    xs, ys, masks = _padded_cells(range(7))
+    xs, ys, masks = _padded_cells(range(19))
     b = xs.shape[0]
     cfg = OptimizeConfig(max_iters=40, restarts=restarts)
     h0_np = np.tile(X0[None], (b, 1))
@@ -110,12 +110,13 @@ def test_chunked_compaction_matches_monolithic(restarts):
     mono = optimize_mll_batch(
         jnp.asarray(h0_np), jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks), cfg
     )
-    # chunk of 3 forces padding (7 -> 3+3+1+2pad) and multiple segments
+    # chunk of 8 forces multiple 8-row tiles with a padded tail
+    # (19 -> 8+8+8 with 5 dupes) and multiple compaction segments
     chunked = optimize_mll_chunked(
-        h0_np, xs, ys, masks, cfg, chunk_rows=3, segment_iters=7
+        h0_np, xs, ys, masks, cfg, chunk_rows=8, segment_iters=7
     )
     np.testing.assert_allclose(np.asarray(mono.nll), chunked.nll, rtol=1e-12)
-    # Launch tiles have power-of-two shapes (po2_tiles), so the chunked run
+    # Launch tiles have TILE_MENU shapes (launch_tiles), so the chunked run
     # evaluates the NLL at batch shapes the monolithic run never uses; XLA
     # vectorizes reductions differently per shape, and ~1e-16 evaluation
     # jitter amplifies along the optimization trajectory into ~1e-9 parameter

@@ -259,8 +259,8 @@ def test_spatial_seeding_two_phase(tmp_path):
     assert rmse < 0.06, f"seeded RMSE {rmse:.3f} m vs truth"
 
 
-def test_chunk_shapes_come_from_po2_menu():
-    """Chunk shapes must come from a fixed power-of-two menu so compiled
+def test_chunk_shapes_come_from_tile_menu():
+    """Chunk shapes must come from the fixed TILE_MENU so compiled
     programs are shared across days/runs regardless of active-cell counts."""
     from optimalinterpolation_tpu.data.neighbors import NeighborhoodBatch
     from optimalinterpolation_tpu.pipeline.daily import _chunks_of
@@ -275,10 +275,19 @@ def test_chunk_shapes_come_from_po2_menu():
             n_valid_cells=n,
         )
 
-    menu = {8, 16, 32, 64, 128}
+    from optimalinterpolation_tpu.models.optimizer import TILE_MENU
+
+    menu = {t for t in TILE_MENU if t <= 128}
     for total in (3, 8, 11, 40, 100, 300):
         sizes = [len(c) for c in _chunks_of(batch(total), 128)]
         assert all(s in menu for s in sizes), (total, sizes)
         # all real cells survive exactly once
         idx = np.concatenate([c.cell_index for c in _chunks_of(batch(total), 128)])
+        assert sorted(idx[idx >= 0]) == list(range(total))
+        # fixed-tile mode: one shape only, padded tail
+        fsizes = [len(c) for c in _chunks_of(batch(total), 0, fixed_tile=32)]
+        assert set(fsizes) == {32}, (total, fsizes)
+        idx = np.concatenate(
+            [c.cell_index for c in _chunks_of(batch(total), 0, fixed_tile=32)]
+        )
         assert sorted(idx[idx >= 0]) == list(range(total))
