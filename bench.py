@@ -117,6 +117,17 @@ def main():
     wall = walls[best]
 
     finite = np.isfinite(res.interp_smth).sum()
+    # Accuracy guard: the synthetic FYI file is truth - 0.02 m (see
+    # data/synthetic.py), so the timed pass's smoothed field can be scored
+    # against the true field at the interpolated date.
+    truth_mid = (
+        np.load(os.path.join(CACHE, f"CS2_FYI_synthetic_{GRID_RES_KM}km.npy"))
+        [:, :, cfg.t_mid] + 0.02
+    )
+    scored = np.isfinite(res.interp_smth)
+    rmse_truth = float(
+        np.sqrt(np.mean((res.interp_smth[scored] - truth_mid[scored]) ** 2))
+    )
     cells_per_sec = rates[best]
     out = {
         "metric": "daily_panarctic_optimized_cells_per_sec",
@@ -126,6 +137,7 @@ def main():
         "detail": {
             "active_cells": n_active,
             "finite_outputs": int(finite),
+            "rmse_vs_truth_m": round(rmse_truth, 4),
             "wall_s": round(wall, 2),
             "walls_s": [round(w, 2) for w in walls],
             "grid": f"{ds.obs.shape[0]}x{ds.obs.shape[1]}@{GRID_RES_KM}km",
