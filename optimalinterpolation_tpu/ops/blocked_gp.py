@@ -39,6 +39,7 @@ from optimalinterpolation_tpu.ops.kernels import Kernel
 __all__ = ["gp_nll_blocked", "gp_nll_and_grad_blocked", "gp_predict_blocked"]
 
 BLK = 128
+PANEL = 512
 _LOG2PI = 1.8378770664093453
 # HIGH = 3-pass bf16 on the MXU: measured identical accuracy to HIGHEST
 # (6-pass) on this problem — ~5e-6 relative vs the f64 oracle — at ~3x the
@@ -123,9 +124,21 @@ def _factor_invert_xla(d: jax.Array):
 
 
 def _factor_invert(d):
+    if d.shape[-1] != BLK:
+        return _factor_invert_panel(d)
     if jax.default_backend() == "tpu":
         return _factor_invert_pallas(d)
     return _factor_invert_xla(d)
+
+
+def _factor_invert_panel(d: jax.Array):
+    """Factor + invert a (B, P, P) panel with P a multiple of 128, by
+    recursing onto the 128-block machinery: L from a small blocked Cholesky,
+    W = L^-1 from the small T build. One level of recursion only (the inner
+    diagonals are 128 and hit the Pallas/XLA base case)."""
+    l4, w4, logdet, ok = _blocked_chol(_to_blocks(d, BLK))
+    t4 = _tinv(l4, w4)
+    return _unblock(l4), _unblock(t4), logdet, ok
 
 
 # ---------------------------------------------------------------------------
@@ -133,10 +146,16 @@ def _factor_invert(d):
 # ---------------------------------------------------------------------------
 
 
-def _to_blocks(a: jax.Array) -> jax.Array:
+def _to_blocks(a: jax.Array, blk: int = BLK) -> jax.Array:
     b, n, _ = a.shape
-    nb = n // BLK
-    return a.reshape(b, nb, BLK, nb, BLK).transpose(0, 1, 3, 2, 4)
+    nb = n // blk
+    return a.reshape(b, nb, blk, nb, blk).transpose(0, 1, 3, 2, 4)
+
+
+def _unblock(t: jax.Array) -> jax.Array:
+    """Inverse of :func:`_to_blocks`: (B, nb, nb, blk, blk) -> (B, n, n)."""
+    b, nb, _, blk, _ = t.shape
+    return t.transpose(0, 1, 3, 2, 4).reshape(b, nb * blk, nb * blk)
 
 
 def _build_a(log_hypers, x, mask, kind, jitter):
@@ -165,10 +184,10 @@ def _blocked_chol(ab):
     blocks the algorithm never reads. nb^3/6 block matmuls — the N^3/3
     Cholesky optimum.
     """
-    b, nb = ab.shape[0], ab.shape[1]
+    b, nb, blk = ab.shape[0], ab.shape[1], ab.shape[-1]
     dtype = ab.dtype
     l = jnp.zeros_like(ab)
-    w = jnp.zeros((b, nb, BLK, BLK), dtype)
+    w = jnp.zeros((b, nb, blk, blk), dtype)
     logdet = jnp.zeros((b,), dtype)
     ok = jnp.ones((b,), bool)
     for kb in range(nb):
@@ -228,19 +247,29 @@ def _tinv(l, w):
     return t
 
 
+def _panel_size(n: int) -> int:
+    """Block granularity of the outer factorization. Large buckets use
+    512-wide panels: HBM traffic of the left-looking history contractions
+    scales as N^3/panel (4x less than 128), and per-einsum outputs grow to
+    (512, 512) free dims, which the MXU sustains far better than thin
+    (128, 128) tiles. The panel diagonal factor recurses onto the 128 base
+    case (_factor_invert_panel). FLOPs are unchanged."""
+    return PANEL if (n % PANEL == 0 and n >= 2048) else BLK
+
+
 def _prep(log_hypers, x, y, mask, kind, jitter):
     b, n, _ = x.shape
     if n % BLK != 0:
         raise ValueError(f"N must be a multiple of {BLK}, got {n}")
     a, sf2, sn2 = _build_a(log_hypers, x, mask, kind, jitter)
-    l, w, logdet, ok = _blocked_chol(_to_blocks(a))
+    l, w, logdet, ok = _blocked_chol(_to_blocks(a, _panel_size(n)))
     return a, l, w, logdet, ok, sf2, sn2
 
 
-def _as_block_vec(v):
+def _as_block_vec(v, blk: int = BLK):
     b, n = v.shape
-    nb = n // BLK
-    return v.reshape(b, nb, BLK, 1)
+    nb = n // blk
+    return v.reshape(b, nb, blk, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "jitter"))
@@ -248,7 +277,7 @@ def gp_nll_blocked(log_hypers, x, y, mask, kind: Kernel = Kernel.MATERN32, jitte
     """Batched masked NLL, (B,) — blocked large-N path. y must be centered."""
     m = mask.astype(x.dtype)
     _, l, w, logdet, ok, _, _ = _prep(log_hypers, x, y, mask, kind, jitter)
-    z = _fwd_solve(l, w, _as_block_vec(y * m))
+    z = _fwd_solve(l, w, _as_block_vec(y * m, l.shape[-1]))
     quad = jnp.sum(z * z, axis=(1, 2, 3))
     n_valid = jnp.sum(m, axis=1)
     nll = 0.5 * quad + logdet + 0.5 * n_valid * _LOG2PI
@@ -265,13 +294,19 @@ def gp_nll_and_grad_blocked(
     m = mask.astype(x.dtype)
     ym = y * m
     _, l, w, logdet, ok, sf2, sn2 = _prep(log_hypers, x, y, mask, kind, jitter)
-    z = _fwd_solve(l, w, _as_block_vec(ym))
+    z = _fwd_solve(l, w, _as_block_vec(ym, l.shape[-1]))
     quad = jnp.sum(z * z, axis=(1, 2, 3))
     n_valid = jnp.sum(m, axis=1)
     nll = 0.5 * quad + logdet + 0.5 * n_valid * _LOG2PI
 
     alpha = _bwd_solve(l, w, z).reshape(b, n)  # (B, N)
     t = _tinv(l, w)
+    if l.shape[-1] != BLK:
+        # The row-streamed trace loop below runs at 128 granularity (its
+        # (B, j, blk, blk, 3) displacement tensors would be 16x larger at
+        # 512); T is exactly lower-triangular elementwise, so re-blocking
+        # the panel T at 128 is a pure transpose/reshape.
+        t = _to_blocks(_unblock(t), BLK)
     # Row-streamed gradient traces. K^-1 = T^T T with T block-lower-
     # triangular, and both Q = K^-1 - alpha alpha^T and every dK/dtheta are
     # symmetric, so the trace <Q, dK> = sum_i (<Q_ii, dK_ii> +
@@ -346,8 +381,8 @@ def gp_predict_blocked(
     )(x, xstar, ell, sf2, mask)  # (B, N)
 
     rhs = jnp.concatenate(
-        [_as_block_vec(ym), _as_block_vec(ks)], axis=3
-    )  # (B, nb, BLK, 2)
+        [_as_block_vec(ym, l.shape[-1]), _as_block_vec(ks, l.shape[-1])], axis=3
+    )  # (B, nb, blk, 2)
     zv = _fwd_solve(l, w, rhs)
     z = zv[..., 0]
     v = zv[..., 1]

@@ -143,3 +143,32 @@ def test_blocked_backend_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(m_), np.asarray(r.mean), atol=1e-12)
     np.testing.assert_allclose(np.asarray(s_), np.asarray(r.std), atol=1e-12)
     assert np.asarray(ok_).all()
+
+
+def test_blocked_panel_path_matches_xla(rng):
+    """n=2048 routes through the 512-wide panel factorization
+    (blocked_gp._panel_size): panel Cholesky + recursive diagonal factor +
+    re-blocked T must still match the f64 autodiff oracle."""
+    from optimalinterpolation_tpu.ops import blocked_gp
+
+    assert blocked_gp._panel_size(2048) == blocked_gp.PANEL
+    h, x, y, mask = _problem(rng, b=2, n=2048)
+    nb_, gb_ = blocked_gp.gp_nll_and_grad_blocked(h, x, y, mask, jitter=1e-6)
+    nx, gx = _xla_vg()(h, x, y, mask)
+    np.testing.assert_allclose(np.asarray(nb_), np.asarray(nx), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(gb_), np.asarray(gx), atol=1e-9)
+
+    from optimalinterpolation_tpu.models.exact_gp_batch import _predict_batch_xla
+
+    xs = jnp.asarray(
+        np.random.default_rng(5).uniform(-1e5, 1e5, (2, 3)) * np.asarray([1, 1, 0])
+        + np.asarray([0.0, 0.0, 4.0])
+    )
+    mean = jnp.full((2,), 0.15)
+    m_, s_, lz_, ps_, ok_ = blocked_gp.gp_predict_blocked(
+        h, x, y, xs, mask, mean, jitter=1e-6
+    )
+    r = _predict_batch_xla(h, x, y, xs, mask, mean, jitter=1e-6)
+    np.testing.assert_allclose(np.asarray(m_), np.asarray(r.mean), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s_), np.asarray(r.std), atol=1e-11)
+    assert np.asarray(ok_).all()
