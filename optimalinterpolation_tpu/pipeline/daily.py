@@ -97,6 +97,15 @@ class DailyConfig:
     # ~8x/64x costlier per iteration and the cascade wins decisively.
     # 0 disables (every cell runs full-N from the reference x0).
     warmstart_n: int = 1024
+    # Cascade floor for SEEDED inits (phase B of spatial seeding): a seed
+    # init is a nearby cell's full-N optimum, so the cascade's job shrinks
+    # from "find the basin" to "adapt to this cell's data" — a handful of
+    # gradient steps that are 8x cheaper at n=512 than at the n=1024 fused
+    # ceiling. This floors the first stage at 512 for seeded buckets only
+    # (incl. the N=1024 bucket, the largest population, which gets no
+    # cascade at all under warmstart_n=1024); cold starts keep the 1024
+    # floor, where restart probing needs the bigger subsample's landscape.
+    warmstart_n_seeded: int = 512
     # Spatial seeding: optimize only every stride-th grid cell from cold
     # start, nearest-fill their optimized hypers across the grid, then
     # optimize ALL cells initialized from their nearest seed (hyper fields
@@ -477,9 +486,14 @@ def interpolate_daily(
         # cell's optimum: cheap subsample stages adapt them to this cell's
         # data before the expensive full-N pass (measured at N=4096:
         # median fine iters 23 -> ~5, the bucket is 38% of pass wall).
+        ws_n = (
+            cfg.warmstart_n_seeded
+            if _seed_init and cfg.warmstart_n_seeded
+            else cfg.warmstart_n
+        )
         use_cascade = (
             (not chained or _seed_init)
-            and cfg.warmstart_n and full_b.capacity > cfg.warmstart_n
+            and ws_n and full_b.capacity > ws_n
         )
         if use_cascade:
             # Cascaded subsampled warm start (see DailyConfig.warmstart_n):
@@ -494,7 +508,7 @@ def interpolate_daily(
                 opt_cfg, ftol_abs=stage_ftol,
                 restarts=1 if chained else opt_cfg.restarts,
             )
-            n_sub = cfg.warmstart_n
+            n_sub = ws_n
             while n_sub < full_b.capacity:
                 t_stage = time.time()
                 sx, sz, sm = _prefix_subset(full_b, n_sub)
