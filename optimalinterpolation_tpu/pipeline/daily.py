@@ -106,6 +106,15 @@ class DailyConfig:
     # cascade at all under warmstart_n=1024); cold starts keep the 1024
     # floor, where restart probing needs the bigger subsample's landscape.
     warmstart_n_seeded: int = 512
+    # Subsample cap for the SEED pass (phase A of spatial seeding): seed
+    # hypers exist only to be nearest-filled into phase-B inits, and phase B
+    # re-optimizes every cell (seeds included) at full N — so polishing a
+    # seed's hypers on its full 2048/4096-point neighborhood is wasted
+    # N^3-scale work. Cap seed optimization at a uniform seed_opt_n-point
+    # subsample (hyper estimates from 1024 points are within sampling noise
+    # of the full-N optimum, plenty for an init). Also removes the large-N
+    # optimizer executables from the seed pass entirely. 0 disables.
+    seed_opt_n: int = 1024
     # Spatial seeding: optimize only every stride-th grid cell from cold
     # start, nearest-fill their optimized hypers across the grid, then
     # optimize ALL cells initialized from their nearest seed (hyper fields
@@ -454,7 +463,16 @@ def interpolate_daily(
     # ---- pass 1: per-cell MLL optimization + prediction (GPR3D(opt=True)) --
     opt_cfg = dataclasses.replace(cfg.opt, kind=cfg.kind, jitter=cfg.jitter)
     for full_b in batches:
-      chunk = _chunk_rows(full_b.capacity, cfg.batch_multiple, cfg.max_chunk_bytes,
+      # Optimization problem size for this bucket: capped to a uniform
+      # subsample in the seed pass (DailyConfig.seed_opt_n); the predict
+      # path below always uses the full neighborhood.
+      cap = full_b.capacity
+      permuted = False
+      if _hypers_only and cfg.seed_opt_n and cap > cfg.seed_opt_n:
+          cap = cfg.seed_opt_n
+          _permute_valid_points(full_b)
+          permuted = True
+      chunk = _chunk_rows(cap, cfg.batch_multiple, cfg.max_chunk_bytes,
                           dtype.itemsize, restarts=cfg.opt.restarts)
       t_bucket = time.time()
       if opt_cfg.method == "lbfgs":
@@ -493,7 +511,7 @@ def interpolate_daily(
         )
         use_cascade = (
             (not chained or _seed_init)
-            and ws_n and full_b.capacity > ws_n
+            and ws_n and cap > ws_n
         )
         if use_cascade:
             # Cascaded subsampled warm start (see DailyConfig.warmstart_n):
@@ -502,14 +520,15 @@ def interpolate_daily(
             # the next and convergent in a few iterations from the previous
             # stage's optimum. Restarts run only in the cheapest first stage;
             # later stages polish the winner.
-            _permute_valid_points(full_b)
+            if not permuted:
+                _permute_valid_points(full_b)
             stage_ftol = max(opt_cfg.ftol_abs, cfg.warmstart_ftol)
             stage_cfg = dataclasses.replace(
                 opt_cfg, ftol_abs=stage_ftol,
                 restarts=1 if chained else opt_cfg.restarts,
             )
             n_sub = ws_n
-            while n_sub < full_b.capacity:
+            while n_sub < cap:
                 t_stage = time.time()
                 sx, sz, sm = _prefix_subset(full_b, n_sub)
                 wchunk = _chunk_rows(
@@ -534,16 +553,20 @@ def interpolate_daily(
                 n_sub *= 2
             fine_cfg = dataclasses.replace(stage_cfg, ftol_abs=opt_cfg.ftol_abs)
         t_opt = time.time()
+        if cap < full_b.capacity:
+            fx, fz, fm = _prefix_subset(full_b, cap)
+        else:
+            fx, fz, fm = full_b.x, full_b.z, full_b.mask
         opt_all = optimize_mll_chunked(
-            h0_all, full_b.x, full_b.z - np.asarray(prior_mean, dtype),
-            full_b.mask, fine_cfg, chunk_rows=chunk,
+            h0_all, fx, fz - np.asarray(prior_mean, dtype),
+            fm, fine_cfg, chunk_rows=chunk,
             segment_iters=cfg.opt_segment_iters, sharding=cell_sharding,
         )
         lh_all = np.asarray(opt_all.log_hypers)
         its = np.asarray(opt_all.iters)
         logger.info(
-            "bucket N=%d B=%d optimize: %.1fs, iters median %.0f max %d",
-            full_b.capacity, len(full_b), time.time() - t_opt,
+            "bucket N=%d B=%d optimize (n=%d): %.1fs, iters median %.0f max %d",
+            full_b.capacity, len(full_b), cap, time.time() - t_opt,
             np.median(its), its.max() if its.size else 0,
         )
       else:

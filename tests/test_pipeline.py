@@ -251,6 +251,11 @@ def test_spatial_seeding_two_phase(tmp_path):
         buckets=(128, 256, 512),
         dtype="float64",
         spatial_seed_stride=3,
+        # Exercise the capped seed pass (phase A optimizes 256/512-point
+        # neighborhoods on a 128-point subsample) and the seeded cascade
+        # floor (phase B runs a 128-point stage before full-N fine).
+        seed_opt_n=128,
+        warmstart_n_seeded=128,
     )
     res = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
     active = np.isfinite(ds.sie[:, :, 4])
