@@ -26,7 +26,13 @@ from optimalinterpolation_tpu.data.window import TrainingVectors
 
 __all__ = ["NeighborhoodBatch", "gather_neighborhoods", "bucketize_counts"]
 
-DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
+# No 128 bucket by default: cells with <=128 neighbors are rare at the
+# production radius (a sparse-edge population that varies day to day), and
+# every bucket capacity is its own family of compiled executables (~10-40 s
+# per-process load each on the tunneled TPU runtime). Folding them into the
+# 256 bucket costs negligible masked compute and keeps the executable set
+# identical across days.
+DEFAULT_BUCKETS = (256, 512, 1024, 2048, 4096)
 
 
 @dataclasses.dataclass

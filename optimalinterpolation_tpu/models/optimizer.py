@@ -630,20 +630,22 @@ def optimize_mll_chunked(
         raise ValueError("optimize_mll_chunked supports method='lbfgs' only")
     backend = _resolve_backend(config, x.shape[1], x.dtype)
     n_rows_tot = config.restarts * log_hypers0.shape[0]
-    fit = next((t for t in TILE_MENU if t >= n_rows_tot and t <= chunk_rows), None)
-    if fit is not None and (n_rows_tot <= 128 or fit <= 2 * n_rows_tot):
-        # Single-chunk bucket: compaction cannot shrink the launched shape
-        # enough to beat the per-launch overhead of the segment sweeps
-        # (~11 launches vs 1), so run one monolithic program. Rows are padded
-        # up to the TILE_MENU (duplicating row 0, which just converges in
-        # lockstep) so the compiled shape is shared across days/runs instead
-        # of recompiling for every distinct cell count. Buckets whose menu
-        # padding would exceed 2x the real rows (e.g. 600 -> 2048) fall
-        # through to the compacted driver instead of paying 3x+ lockstep.
+    # Monolithic fast path for small buckets, at ONE canonical shape per
+    # (restarts, N): 128 total rows. Compaction cannot shrink a <=128-row
+    # launch enough to beat the per-launch overhead of the segment sweeps
+    # (~6-11 launches vs 1), so run one monolithic program, padded by
+    # duplicating row 0 (which converges in lockstep and is sliced away).
+    # The pad target is FIXED at 128 rather than the snuggest TILE_MENU fit:
+    # a menu-fit shape tracks the bucket's population (8 cells one day, 16
+    # the next -> distinct (8, N) and (32, N) executables), and on the
+    # tunneled TPU runtime every distinct executable costs ~10-40 s of
+    # per-process load on first execution — shape-canonicalization is worth
+    # far more than the trivial lockstep compute of the padded rows.
+    _MONO_ROWS = 128
+    if n_rows_tot <= _MONO_ROWS and _MONO_ROWS <= chunk_rows:
         b_real = log_hypers0.shape[0]
-        size = fit
-        pad = max(0, size - b_real) if config.restarts == 1 else 0
-        if pad and config.restarts == 1:
+        pad = _MONO_ROWS // config.restarts - b_real
+        if pad > 0:
             rep = lambda a: np.concatenate(  # noqa: E731
                 [np.asarray(a), np.repeat(np.asarray(a[:1]), pad, axis=0)]
             )
