@@ -132,8 +132,31 @@ def cmd_daily(args):
 
     out = os.path.join(args.outdir, f"CS2S3_{res.date}_{ds.grid_res_km}km.pkl")
     save_pickle(res.to_reference_dict(), out)
-    print(json.dumps({"date": res.date, "output": out,
-                      "cells": int(np.isfinite(res.interp).sum())}))
+    outputs = {"date": res.date, "output": out,
+               "cells": int(np.isfinite(res.interp).sum())}
+    if args.quicklook:
+        # Same product the season pipeline writes (reference schema,
+        # [iy, ix] orientation — see pipeline.season.run_season).
+        from optimalinterpolation_tpu.data.projection import PolarStereo
+        from optimalinterpolation_tpu.io.quicklook import (
+            QuicklookField,
+            write_quicklook,
+        )
+
+        lon, lat = PolarStereo.from_boundinglat(60.0, 0.0).inverse(ds.x, ds.y)
+        ql = os.path.join(
+            args.outdir, f"CS2S3_{res.date}_{ds.grid_res_km}km_quicklook.nc"
+        )
+        write_quicklook(
+            QuicklookField(
+                date=res.date, lat=lat.T, lon=lon.T,
+                radar_freeboard=res.interp_smth.T,
+                uncertainty=res.interp_error_smth.T,
+            ),
+            ql,
+        )
+        outputs["quicklook"] = ql
+    print(json.dumps(outputs))
 
 
 def cmd_season(args):
@@ -171,6 +194,8 @@ def main(argv=None):
     p = sub.add_parser("daily", help="produce one daily interpolated field")
     _add_daily_args(p)
     p.add_argument("--day", type=int, default=0, help="window start index")
+    p.add_argument("--quicklook", action="store_true",
+                   help="also write the quicklook NetCDF (reference schema)")
     p.set_defaults(fn=cmd_daily)
 
     p = sub.add_parser("season", help="produce a season of daily fields")

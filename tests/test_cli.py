@@ -1,0 +1,54 @@
+"""CLI surface tests (reference has no CLI: knobs are module globals,
+``GPR_CS2S3.py:201-217``, and ``input()`` prompts, ``read_and_bin.py:60-64``).
+
+Drives ``optimalinterpolation_tpu.cli.main`` in-process on a tiny synthetic
+season and checks the product files users actually consume: the per-date
+result pickle (15 keys) and the quicklook NetCDF (reference schema).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from optimalinterpolation_tpu.cli import main
+from optimalinterpolation_tpu.data.synthetic import make_synthetic_season
+
+
+@pytest.fixture(scope="module")
+def tiny_season(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("cli_season"))
+    make_synthetic_season(
+        outdir, grid_res_km=250, n_days=9, seed=7, noise_std=0.03,
+        tracks_per_day=(3, 1, 2, 2),
+    )
+    return outdir
+
+
+def test_daily_cli_writes_pickle_and_quicklook(tiny_season, tmp_path, capsys):
+    out = str(tmp_path)
+    main([
+        "daily", "--datapath", tiny_season, "--grid-res", "250",
+        "--prior-mean", "0.15", "--max-iters", "5", "--seed-stride", "0",
+        "--dtype", "float64", "--outdir", out, "--quicklook",
+    ])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["cells"] > 0
+
+    from optimalinterpolation_tpu.io.pickles import load_pickle
+
+    d = load_pickle(info["output"])
+    assert len(d) == 15  # reference result-dict keys per date
+    date = info["date"]
+    assert f"{date}_interp_smth" in d and f"{date}_ell_x" in d
+
+    from optimalinterpolation_tpu.io.quicklook import read_quicklook
+
+    ql = read_quicklook(info["quicklook"])
+    assert ql.date == date
+    assert ql.radar_freeboard.shape == ql.lat.shape
+    # [iy, ix] orientation: quicklook grids transpose the internal [ix, iy]
+    np.testing.assert_allclose(
+        ql.radar_freeboard.T, d[f"{date}_interp_smth"], equal_nan=True
+    )
+    assert np.isfinite(ql.uncertainty).sum() == info["cells"]
