@@ -148,6 +148,15 @@ def _resolve_backend(config: OptimizeConfig, n: int, dtype) -> str:
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and dtype == jnp.float32:
+        # Measured on v5e (ms/cell-iter, NLL+grad): the block-tensor einsum
+        # path beats the fused Pallas kernel at every production size —
+        # 0.063 vs 0.091 at N=512, 0.215 vs 0.427 at N=1024 (XLA batches
+        # each block matmul across ALL cells of the chunk, while the fused
+        # kernel's serial per-128-block chain limits it to its cell tile).
+        # The fused kernel keeps the small-N sizes where one cell's whole
+        # problem fits VMEM and einsum fixed costs dominate.
+        if n % 128 == 0 and n >= 512:
+            return "blocked"
         if pallas_gp.supported(n):
             return "pallas"
         if n % 128 == 0:

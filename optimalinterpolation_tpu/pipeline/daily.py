@@ -201,13 +201,22 @@ def _put(arr, sharding):
 # since the trace contractions consume K^-1 one block-row at a time); the
 # XLA autodiff path ~10 (K, A, L, VJP residuals, workspace).
 _MEM_BUFFERS = 10
-_MEM_BUFFERS_BLOCKED = 7
+# Empirical live-set of the row-streamed blocked NLL+grad: XLA's buffer
+# reuse keeps ~3 (N, N) matrices per cell alive (A/L/T; the streamed
+# gradient recycles its row panels). Probed on the 16 GB v5e: N=4096 B=48
+# and N=2048 B=192 both run (the old 7-buffer model called them 2x
+# oversubscribed). 3.5 leaves ~15% headroom within the 8 GB chunk budget.
+_MEM_BUFFERS_BLOCKED = 3.5
 # Cap pallas chunks by EXPECTED PROGRAM DURATION, not just memory: one
 # optimize program runs the whole lockstep L-BFGS for its chunk on-device;
 # a ~200 s single program reliably kills the (watchdogged) TPU worker, and
 # long chunks also maximize straggler waste. Caps sized for ~<60 s at 50
 # L-BFGS iterations from measured per-cell optimize throughput on v5e.
-_PALLAS_CHUNK_CAP = {128: 2048, 256: 2048, 512: 1024, 1024: 384}
+# Caps for the small-N buckets that still run the fused Pallas kernel
+# (N < 512; larger sizes take the blocked path — see
+# models.optimizer._resolve_backend). VMEM-resident, so chunks are bounded
+# by program duration (the ~200 s runtime watchdog), not HBM.
+_PALLAS_CHUNK_CAP = {128: 2048, 256: 2048, 512: 1024, 1024: 512}
 
 
 def _chunk_rows(
@@ -220,7 +229,8 @@ def _chunk_rows(
 
     on_tpu = jax.default_backend() == "tpu"
     f32 = itemsize == 4
-    if on_tpu and f32 and pallas_gp.supported(capacity):
+    if on_tpu and f32 and capacity < 512 and pallas_gp.supported(capacity):
+        # Fused-kernel sizes (mirrors optimizer._resolve_backend).
         cap = _PALLAS_CHUNK_CAP.get(capacity, 384)
         rows = min(cap, int(max_chunk_bytes // (capacity * 64)))
     else:
