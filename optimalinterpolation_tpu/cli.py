@@ -8,6 +8,9 @@ globals (``GPR_CS2S3.py:201-217``) and the binner asks via ``input()``
   python -m optimalinterpolation_tpu season    a whole season
   python -m optimalinterpolation_tpu bin       along-track binning (C1)
   python -m optimalinterpolation_tpu synth     synthetic season generator
+  python -m optimalinterpolation_tpu cell      single-cell GP (exact |
+                                               nystroem | svgp), the
+                                               GP_example.ipynb workflow
 """
 
 from __future__ import annotations
@@ -159,6 +162,155 @@ def cmd_daily(args):
     print(json.dumps(outputs))
 
 
+def cmd_cell(args):
+    """Single-cell GP train/predict — the reference's notebook workflow.
+
+    Rebuilds ``GP_example.ipynb`` cell-3 (exact GP), cell-5 (Nystroem) and
+    ``dev/sparseGP_example.ipynb`` cell-5 (SVGP) as one command: pick a
+    location, gather its radius/window neighborhood, fit, predict, report
+    mean / sigma / lZ / hyperparameters (and optionally the paper-Fig.-2
+    prior-vs-posterior figure + training-footprint map).
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    from optimalinterpolation_tpu.data.neighbors import gather_neighborhoods
+    from optimalinterpolation_tpu.data.window import flatten_window
+    from optimalinterpolation_tpu.models import exact_gp
+    from optimalinterpolation_tpu.ops.kernels import Kernel
+
+    ds = _load(args)
+    prior = float(_prior(args, ds)(args.day))
+    t_mid = args.window_days // 2
+    date = ds.dates[args.day + t_mid]
+    sat = ds.obs[:, :, :, args.day : args.day + args.window_days]
+    train = flatten_window(sat, ds.x, ds.y)
+    dtype = np.float64 if args.dtype == "float64" else np.float32
+    batches = gather_neighborhoods(
+        train,
+        np.array([[args.x, args.y]]),
+        t_star=float(t_mid),
+        radius_m=args.radius_km * 1e3,
+        batch_multiple=1,
+        dtype=dtype,
+    )
+    if not batches or batches[0].n_valid_cells == 0:
+        raise SystemExit("no observations within the radius/window")
+    b = batches[0]
+    x = jnp.asarray(b.x[0])
+    z = jnp.asarray(b.z[0])
+    mask = jnp.asarray(b.mask[0])
+    xstar = jnp.asarray(b.xstar[0])[None]
+    n = int(b.mask[0].sum())
+    kind = Kernel(args.kernel)
+    mean = jnp.asarray(prior, dtype=x.dtype)
+    h0 = exact_gp.HYPER_INIT_LOG(ds.grid_res_km * 1e3, dtype=x.dtype)
+    out = {"date": date, "method": args.method, "n_points": n,
+           "prior_mean": prior}
+    footprint_inducing = None
+
+    t0 = time.time()
+    if args.method == "exact":
+        from optimalinterpolation_tpu.models.optimizer import (
+            OptimizeConfig,
+            optimize_mll,
+        )
+
+        cfg = OptimizeConfig(
+            method=args.optimizer, max_iters=args.max_iters, kind=kind,
+            jitter=args.jitter, restarts=args.restarts,
+        )
+        opt = optimize_mll(h0, x, (z - mean) * mask, mask, config=cfg)
+        pred = exact_gp.predict(
+            opt.log_hypers, x, z, xstar, mask, mean, kind=kind,
+            jitter=args.jitter,
+        )
+        log_h = opt.log_hypers
+        out.update(
+            mean=float(pred.mean[0]), std=float(pred.std[0]),
+            lZ=float(pred.lZ), prior_std=float(pred.prior_std[0]),
+            nll=float(opt.nll), iters=int(opt.iters),
+        )
+    elif args.method == "nystroem":
+        from jax.scipy.optimize import minimize as jax_minimize
+
+        from optimalinterpolation_tpu.models.nystroem import (
+            nystroem_nll,
+            nystroem_predict,
+        )
+
+        valid = np.nonzero(b.mask[0])[0]
+        m_lmk = min(args.landmarks, len(valid))
+        rng = np.random.default_rng(args.seed)
+        lmk = jnp.asarray(rng.choice(valid, size=m_lmk, replace=False))
+        zc = (z - mean) * mask
+
+        def objective(h):
+            return nystroem_nll(h, x, zc, lmk, mask, kind=kind,
+                                jitter=args.jitter)
+
+        res = jax_minimize(objective, h0, method="BFGS",
+                           options={"maxiter": args.max_iters})
+        pred = nystroem_predict(res.x, x, z, xstar, lmk, mask, mean,
+                                kind=kind, jitter=args.jitter)
+        log_h = res.x
+        out.update(
+            mean=float(pred.mean[0]), std=float(pred.std[0]),
+            nll=float(res.fun), landmarks=m_lmk,
+        )
+    elif args.method == "svgp":
+        import jax
+
+        from optimalinterpolation_tpu.models.svgp import (
+            SVGPConfig,
+            svgp_fit,
+            svgp_init,
+            svgp_predict,
+        )
+
+        cfg = SVGPConfig(
+            num_inducing=args.num_inducing, iterations=args.svgp_iters,
+            batch_size=args.svgp_batch, kind=kind,
+        )
+        params0 = svgp_init(x, mask, cfg.num_inducing, h0, prior)
+        fit = svgp_fit(params0, x, z, mask, jax.random.key(args.seed),
+                       config=cfg)
+        pred = svgp_predict(fit.params, xstar, kind=kind)
+        log_h = fit.params.log_hypers
+        footprint_inducing = np.asarray(fit.params.z[:, :2])
+        out.update(
+            mean=float(pred.mean[0]), std=float(pred.std[0]),
+            elbo=float(fit.elbo_log[-1]),
+            learned_mean=float(fit.params.mean),
+        )
+    else:  # pragma: no cover - argparse choices guard this
+        raise SystemExit(f"unknown method {args.method}")
+    out["seconds"] = round(time.time() - t0, 3)
+    out["hypers"] = {
+        k: float(np.exp(v))
+        for k, v in zip(("ell_x", "ell_y", "ell_t", "sf2", "sn2"),
+                        np.asarray(log_h))
+    }
+
+    if args.figure:
+        from optimalinterpolation_tpu import viz
+
+        prior_std = out.get("prior_std", float(np.sqrt(out["hypers"]["sf2"])))
+        pdf_path = f"{args.figure}_pdf.png"
+        viz.plot_prior_posterior(prior, prior_std, out["mean"], out["std"],
+                                 path=pdf_path)
+        foot_path = f"{args.figure}_footprint.png"
+        valid = b.mask[0] > 0
+        viz.plot_training_footprint(
+            np.asarray(b.x[0][valid, :2]), np.asarray(b.z[0][valid]),
+            (args.x, args.y), radius_m=args.radius_km * 1e3,
+            inducing_xy=footprint_inducing, path=foot_path,
+        )
+        out["figures"] = [pdf_path, foot_path]
+    print(json.dumps(out))
+
+
 def cmd_season(args):
     from optimalinterpolation_tpu.pipeline.season import SeasonConfig, run_season
 
@@ -202,6 +354,30 @@ def main(argv=None):
     _add_daily_args(p)
     p.add_argument("--no-resume", action="store_true")
     p.set_defaults(fn=cmd_season)
+
+    p = sub.add_parser(
+        "cell",
+        help="single-cell GP at one location (exact | nystroem | svgp)",
+    )
+    _add_daily_args(p)
+    p.add_argument("--day", type=int, default=0, help="window start index")
+    p.add_argument("--x", type=float, required=True,
+                   help="projected x of the cell [m] (GP_example: 0.94e6)")
+    p.add_argument("--y", type=float, required=True,
+                   help="projected y of the cell [m] (GP_example: 3.5e5)")
+    p.add_argument("--method", default="exact",
+                   choices=["exact", "nystroem", "svgp"])
+    p.add_argument("--landmarks", type=int, default=925,
+                   help="Nystroem rank M (reference demo: 925)")
+    p.add_argument("--num-inducing", type=int, default=50)
+    p.add_argument("--svgp-iters", type=int, default=10_000)
+    p.add_argument("--svgp-batch", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0,
+                   help="landmark / minibatch sampling seed")
+    p.add_argument("--figure", default=None,
+                   help="path prefix: writes <prefix>_pdf.png (paper Fig. 2) "
+                        "and <prefix>_footprint.png")
+    p.set_defaults(fn=cmd_cell)
 
     p = sub.add_parser("bin", help="along-track binning (L0)")
     p.add_argument("--datapath", required=True)

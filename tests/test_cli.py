@@ -25,6 +25,40 @@ def tiny_season(tmp_path_factory):
     return outdir
 
 
+def _run_cell(tiny_season, capsys, *extra):
+    main([
+        "cell", "--datapath", tiny_season, "--grid-res", "250",
+        "--prior-mean", "0.15", "--x", "4e6", "--y", "4e6",
+        "--radius-km", "700", "--max-iters", "8", "--dtype", "float64",
+        *extra,
+    ])
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cell_cli_methods_agree(tiny_season, tmp_path, capsys):
+    """The GP_example workflow: exact vs Nystroem vs SVGP on one cell
+    (reference cross-method check, sparseGP_example cell-3 vs cell-5)."""
+    fig = str(tmp_path / "cell")
+    exact = _run_cell(tiny_season, capsys, "--figure", fig)
+    assert exact["n_points"] > 10
+    assert set(exact["hypers"]) == {"ell_x", "ell_y", "ell_t", "sf2", "sn2"}
+    assert np.isfinite(exact["lZ"])
+    import os
+
+    assert all(os.path.exists(f) for f in exact["figures"])
+
+    nyst = _run_cell(tiny_season, capsys, "--method", "nystroem",
+                     "--landmarks", "64")
+    # rank-32 approximation of an n<~2k problem: same prediction to ~cm
+    assert abs(nyst["mean"] - exact["mean"]) < 0.05
+    assert nyst["std"] > 0
+
+    svgp = _run_cell(tiny_season, capsys, "--method", "svgp",
+                     "--svgp-iters", "100", "--num-inducing", "16")
+    assert np.isfinite(svgp["elbo"])
+    assert np.isfinite(svgp["mean"]) and svgp["std"] > 0
+
+
 def test_daily_cli_writes_pickle_and_quicklook(tiny_season, tmp_path, capsys):
     out = str(tmp_path)
     main([
