@@ -321,6 +321,69 @@ def cmd_season(args):
                precomputed_hypers=_hypers(args))
 
 
+def cmd_hypers(args):
+    """Seasonal-average hyperparameter fields -> ``.npz`` (quicklook scheme).
+
+    The reference's quicklook production skips per-cell optimization and
+    reuses seasonal-average hyperparameters from 50 km runs regridded to the
+    25 km grid (``QuickLook Data/README.txt:1``; the ``GPR3D(opt=False)``
+    path, ``GPR_CS2S3.py:170-172``). This command rebuilds that workflow
+    from saved per-day result pickles: average the (smoothed) hyper fields
+    over the season, optionally regrid to a target resolution, and write the
+    ``.npz`` that ``daily``/``season`` consume via ``--hypers``.
+    """
+    import glob
+    import re
+    import warnings
+
+    from optimalinterpolation_tpu.io.pickles import load_pickle
+    from optimalinterpolation_tpu.pipeline.daily import HYPER_NAMES
+
+    files = sorted(
+        glob.glob(os.path.join(args.indir, f"CS2S3_*_{args.grid_res}km.pkl"))
+    )
+    if not files:
+        raise SystemExit(f"no CS2S3_*_{args.grid_res}km.pkl in {args.indir}")
+    suffix = "" if args.raw else "_smth"
+    stacks = {n: [] for n in HYPER_NAMES}
+    for f in files:
+        date = re.search(r"CS2S3_(\d{8})_", os.path.basename(f)).group(1)
+        d = load_pickle(f)
+        for n in HYPER_NAMES:
+            stacks[n].append(np.asarray(d[f"{date}_{n}{suffix}"], np.float64))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN pixels
+        avg = {n: np.nanmean(np.stack(s), axis=0) for n, s in stacks.items()}
+
+    if args.target_grid_res and args.target_grid_res != args.grid_res:
+        from optimalinterpolation_tpu.data.regrid import regrid_field
+
+        src_dir = args.datapath
+        dst_dir = args.target_datapath or args.datapath
+        if src_dir is None:
+            raise SystemExit("--datapath required for regridding (grid .npy)")
+        # Internal fields are [ix, iy]: x varies along axis 0, y along axis 1.
+        sx = np.load(os.path.join(src_dir, f"x_{args.grid_res}km.npy"))[:, 0]
+        sy = np.load(os.path.join(src_dir, f"y_{args.grid_res}km.npy"))[0, :]
+        dx = np.load(
+            os.path.join(dst_dir, f"x_{args.target_grid_res}km.npy")
+        )[:, 0]
+        dy = np.load(
+            os.path.join(dst_dir, f"y_{args.target_grid_res}km.npy")
+        )[0, :]
+        avg = {
+            n: regrid_field(v.T, sx, sy, dx, dy, fill=not args.no_fill).T
+            for n, v in avg.items()
+        }
+
+    np.savez(args.out, **avg)
+    print(json.dumps({
+        "out": args.out, "days": len(files),
+        "finite_cells": int(np.isfinite(avg["ell_x"]).sum()),
+        "shape": list(avg["ell_x"].shape),
+    }))
+
+
 def cmd_bin(args):
     from optimalinterpolation_tpu.data.binner import run_season_binning
 
@@ -386,6 +449,27 @@ def main(argv=None):
     p.add_argument("--season", default="2018-2019")
     p.add_argument("--grid-res", type=int, default=25)
     p.set_defaults(fn=cmd_bin)
+
+    p = sub.add_parser(
+        "hypers",
+        help="seasonal-average hyperparameter .npz (quicklook opt=False path)",
+    )
+    p.add_argument("--indir", required=True,
+                   help="directory of per-day CS2S3_*_{res}km.pkl results")
+    p.add_argument("--grid-res", type=int, default=50)
+    p.add_argument("--out", required=True, help="output .npz path")
+    p.add_argument("--raw", action="store_true",
+                   help="average the raw per-cell hypers instead of smoothed")
+    p.add_argument("--datapath", default=None,
+                   help="directory with x_/y_{res}km.npy grids (regrid only)")
+    p.add_argument("--target-grid-res", type=int, default=None,
+                   help="regrid the averages to this resolution "
+                        "(reference: 50 -> 25)")
+    p.add_argument("--target-datapath", default=None,
+                   help="grid .npy dir for the target res (default --datapath)")
+    p.add_argument("--no-fill", action="store_true",
+                   help="skip nearest-neighbour fill outside the footprint")
+    p.set_defaults(fn=cmd_hypers)
 
     p = sub.add_parser("synth", help="generate a synthetic season")
     p.add_argument("--outdir", required=True)

@@ -25,6 +25,47 @@ def tiny_season(tmp_path_factory):
     return outdir
 
 
+def test_hypers_cli_quicklook_workflow(tiny_season, tmp_path, capsys):
+    """The quicklook production workflow end-to-end at the CLI: optimize a
+    day -> seasonal-average hyper .npz (optionally regridded) -> re-predict
+    with --hypers (the reference's opt=False path)."""
+    out = str(tmp_path)
+    daily_args = [
+        "daily", "--datapath", tiny_season, "--grid-res", "250",
+        "--prior-mean", "0.15", "--max-iters", "5", "--seed-stride", "0",
+        "--dtype", "float64", "--outdir", out,
+    ]
+    main(daily_args)
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    npz = str(tmp_path / "hypers.npz")
+    main(["hypers", "--indir", out, "--grid-res", "250", "--out", npz])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["days"] == 1 and info["finite_cells"] > 0
+    z = np.load(npz)
+    assert set(z.files) == {"ell_x", "ell_y", "ell_t", "sf2", "sn2"}
+
+    # opt=False re-predict from the averaged hypers
+    out2 = str(tmp_path / "pass2")
+    import os
+
+    os.makedirs(out2)
+    main(daily_args[:-1] + [out2, "--hypers", npz])
+    info2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info2["cells"] > 0
+
+    # regrid branch: 250 km averages onto a 500 km grid
+    coarse = str(tmp_path / "coarse")
+    make_synthetic_season(coarse, grid_res_km=500, n_days=9, seed=7,
+                          tracks_per_day=(3, 1, 2, 2))
+    npz2 = str(tmp_path / "hypers_500.npz")
+    main(["hypers", "--indir", out, "--grid-res", "250", "--out", npz2,
+          "--datapath", tiny_season, "--target-grid-res", "500",
+          "--target-datapath", coarse])
+    info3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info3["shape"] == [16, 16] and info3["finite_cells"] > 0
+
+
 def _run_cell(tiny_season, capsys, *extra):
     main([
         "cell", "--datapath", tiny_season, "--grid-res", "250",
