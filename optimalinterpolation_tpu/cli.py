@@ -384,6 +384,44 @@ def cmd_hypers(args):
     }))
 
 
+def cmd_validate(args):
+    """Skill of saved daily fields against independent point observations
+    (the reference's empty ``OIB/`` validation slot, C17, made real).
+
+    ``--points`` is an ``.npz`` with arrays ``x``, ``y`` [m, projected],
+    ``date`` ('YYYYMMDD' strings) and ``value`` [m].
+    """
+    import glob
+    import re
+
+    from optimalinterpolation_tpu.io.pickles import load_pickle
+    from optimalinterpolation_tpu.validation import PointObs, validate_fields
+
+    z = np.load(args.points, allow_pickle=False)
+    obs = PointObs(x=z["x"], y=z["y"], date=z["date"].astype(str),
+                   value=z["value"])
+    suffix = "_smth" if args.smoothed else ""
+    fields, uncertainties = {}, {}
+    for f in sorted(
+        glob.glob(os.path.join(args.indir, f"CS2S3_*_{args.grid_res}km.pkl"))
+    ):
+        date = re.search(r"CS2S3_(\d{8})_", os.path.basename(f)).group(1)
+        d = load_pickle(f)
+        fields[date] = np.asarray(d[f"{date}_interp{suffix}"])
+        uncertainties[date] = np.asarray(d[f"{date}_interp_error{suffix}"])
+    if not fields:
+        raise SystemExit(f"no CS2S3_*_{args.grid_res}km.pkl in {args.indir}")
+    x_axis = np.load(
+        os.path.join(args.datapath, f"x_{args.grid_res}km.npy")
+    )[:, 0]
+    y_axis = np.load(
+        os.path.join(args.datapath, f"y_{args.grid_res}km.npy")
+    )[0, :]
+    stats = validate_fields(obs, fields, x_axis, y_axis,
+                            uncertainties=uncertainties)
+    print(json.dumps({"days": len(fields), **stats.to_dict()}))
+
+
 def cmd_bin(args):
     from optimalinterpolation_tpu.data.binner import run_season_binning
 
@@ -470,6 +508,21 @@ def main(argv=None):
     p.add_argument("--no-fill", action="store_true",
                    help="skip nearest-neighbour fill outside the footprint")
     p.set_defaults(fn=cmd_hypers)
+
+    p = sub.add_parser(
+        "validate",
+        help="skill metrics of saved daily fields vs point observations (OIB)",
+    )
+    p.add_argument("--indir", required=True,
+                   help="directory of per-day CS2S3_*_{res}km.pkl results")
+    p.add_argument("--datapath", required=True,
+                   help="directory with x_/y_{res}km.npy grids")
+    p.add_argument("--grid-res", type=int, default=25)
+    p.add_argument("--points", required=True,
+                   help=".npz with x, y [m], date [YYYYMMDD], value [m]")
+    p.add_argument("--smoothed", action="store_true",
+                   help="validate the smoothed-hyper pass-2 fields")
+    p.set_defaults(fn=cmd_validate)
 
     p = sub.add_parser("synth", help="generate a synthetic season")
     p.add_argument("--outdir", required=True)

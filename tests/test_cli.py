@@ -66,6 +66,37 @@ def test_hypers_cli_quicklook_workflow(tiny_season, tmp_path, capsys):
     assert info3["shape"] == [16, 16] and info3["finite_cells"] > 0
 
 
+def test_validate_cli_skill_metrics(tiny_season, tmp_path, capsys):
+    """validate subcommand: perfect point obs sampled from the field itself
+    must score bias 0 / rmse 0 / corr 1 / coverage 1."""
+    out = str(tmp_path)
+    main([
+        "daily", "--datapath", tiny_season, "--grid-res", "250",
+        "--prior-mean", "0.15", "--max-iters", "5", "--seed-stride", "0",
+        "--dtype", "float64", "--outdir", out,
+    ])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from optimalinterpolation_tpu.io.pickles import load_pickle
+
+    date = info["date"]
+    field = load_pickle(info["output"])[f"{date}_interp"]
+    gx = np.load(f"{tiny_season}/x_250km.npy")[:, 0]
+    gy = np.load(f"{tiny_season}/y_250km.npy")[0, :]
+    ix, iy = np.nonzero(np.isfinite(field))
+    pts = str(tmp_path / "points.npz")
+    np.savez(pts, x=gx[ix], y=gy[iy], value=field[ix, iy],
+             date=np.full(ix.shape, date, dtype="U8"))
+
+    main(["validate", "--indir", out, "--datapath", tiny_season,
+          "--grid-res", "250", "--points", pts])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n"] == ix.size and stats["coverage"] == 1.0
+    assert abs(stats["bias"]) < 1e-12 and stats["rmse"] < 1e-12
+    assert stats["corr"] > 0.999999
+    assert stats["mean_z"] < 1e-9
+
+
 def _run_cell(tiny_season, capsys, *extra):
     main([
         "cell", "--datapath", tiny_season, "--grid-res", "250",
