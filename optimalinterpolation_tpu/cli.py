@@ -71,6 +71,11 @@ def _add_daily_args(p):
                    help=".npz of precomputed hyperparameter fields "
                         "(ell_x, ell_y, ell_t, sf2, sn2): the quicklook "
                         "opt=False path — skips per-cell optimization")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="write a jax.profiler device trace to LOGDIR "
+                        "(view in TensorBoard/Perfetto)")
+    p.add_argument("--verbose", action="store_true",
+                   help="per-stage INFO logs (cells/sec, chunk timings)")
 
 
 def _load(args):
@@ -123,16 +128,35 @@ def _hypers(args):
     return {k: z[k] for k in ("ell_x", "ell_y", "ell_t", "sf2", "sn2")}
 
 
+def _observability(args):
+    """Honour --verbose / --profile; returns a context manager for the run."""
+    import contextlib
+
+    if getattr(args, "verbose", False):
+        import logging
+
+        logging.basicConfig(level=logging.INFO, format="%(message)s")
+        logging.getLogger("optimalinterpolation_tpu").setLevel(logging.INFO)
+    if getattr(args, "profile", None):
+        from optimalinterpolation_tpu.utils.profiling import trace
+
+        return trace(args.profile)
+    return contextlib.nullcontext()
+
+
 def cmd_daily(args):
     from optimalinterpolation_tpu.io.pickles import save_pickle
     from optimalinterpolation_tpu.pipeline.daily import interpolate_daily
 
     ds = _load(args)
     prior = _prior(args, ds)(args.day)
-    res = interpolate_daily(ds, args.day, prior, _configs(args), _sharding(args),
-                            precomputed_hypers=_hypers(args))
+    with _observability(args):
+        res = interpolate_daily(ds, args.day, prior, _configs(args),
+                                _sharding(args),
+                                precomputed_hypers=_hypers(args))
     import os
 
+    os.makedirs(args.outdir, exist_ok=True)
     out = os.path.join(args.outdir, f"CS2S3_{res.date}_{ds.grid_res_km}km.pkl")
     save_pickle(res.to_reference_dict(), out)
     outputs = {"date": res.date, "output": out,
@@ -317,8 +341,10 @@ def cmd_season(args):
     ds = _load(args)
     cfg = SeasonConfig(daily=_configs(args), outdir=args.outdir,
                        resume=not args.no_resume)
-    run_season(ds, cfg, prior_fn=_prior(args, ds), cell_sharding=_sharding(args),
-               precomputed_hypers=_hypers(args))
+    with _observability(args):
+        run_season(ds, cfg, prior_fn=_prior(args, ds),
+                   cell_sharding=_sharding(args),
+                   precomputed_hypers=_hypers(args))
 
 
 def cmd_hypers(args):
