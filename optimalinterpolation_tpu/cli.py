@@ -559,6 +559,12 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     _enable_compilation_cache()
+    if getattr(args, "dtype", None) == "float64":
+        # Without x64, jnp silently downcasts and "--dtype float64" would
+        # run in f32. (Tests enable x64 in conftest; this covers real use.)
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     return args.fn(args)
 
 
