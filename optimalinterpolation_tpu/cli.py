@@ -162,27 +162,15 @@ def cmd_daily(args):
     outputs = {"date": res.date, "output": out,
                "cells": int(np.isfinite(res.interp).sum())}
     if args.quicklook:
-        # Same product the season pipeline writes (reference schema,
-        # [iy, ix] orientation — see pipeline.season.run_season).
-        from optimalinterpolation_tpu.data.projection import PolarStereo
         from optimalinterpolation_tpu.io.quicklook import (
-            QuicklookField,
-            write_quicklook,
+            grid_lonlat,
+            write_result_quicklook,
         )
 
-        lon, lat = PolarStereo.from_boundinglat(60.0, 0.0).inverse(ds.x, ds.y)
-        ql = os.path.join(
-            args.outdir, f"CS2S3_{res.date}_{ds.grid_res_km}km_quicklook.nc"
+        lon, lat = grid_lonlat(ds.x, ds.y)
+        outputs["quicklook"] = write_result_quicklook(
+            res, lon, lat, ds.grid_res_km, args.outdir
         )
-        write_quicklook(
-            QuicklookField(
-                date=res.date, lat=lat.T, lon=lon.T,
-                radar_freeboard=res.interp_smth.T,
-                uncertainty=res.interp_error_smth.T,
-            ),
-            ql,
-        )
-        outputs["quicklook"] = ql
     print(json.dumps(outputs))
 
 
@@ -219,7 +207,7 @@ def cmd_cell(args):
         batch_multiple=1,
         dtype=dtype,
     )
-    if not batches or batches[0].n_valid_cells == 0:
+    if not batches or int(batches[0].mask[0].sum()) == 0:
         raise SystemExit("no observations within the radius/window")
     b = batches[0]
     x = jnp.asarray(b.x[0])
@@ -234,6 +222,10 @@ def cmd_cell(args):
            "prior_mean": prior}
     footprint_inducing = None
 
+    # Manual enter/exit keeps the method dispatch flat; on an exception the
+    # process exits anyway (CLI), so a leaked trace context is moot.
+    obs_ctx = _observability(args)
+    obs_ctx.__enter__()
     t0 = time.time()
     if args.method == "exact":
         from optimalinterpolation_tpu.models.optimizer import (
@@ -244,6 +236,7 @@ def cmd_cell(args):
         cfg = OptimizeConfig(
             method=args.optimizer, max_iters=args.max_iters, kind=kind,
             jitter=args.jitter, restarts=args.restarts,
+            ftol_abs=args.ftol,
         )
         opt = optimize_mll(h0, x, (z - mean) * mask, mask, config=cfg)
         pred = exact_gp.predict(
@@ -311,6 +304,7 @@ def cmd_cell(args):
     else:  # pragma: no cover - argparse choices guard this
         raise SystemExit(f"unknown method {args.method}")
     out["seconds"] = round(time.time() - t0, 3)
+    obs_ctx.__exit__(None, None, None)
     out["hypers"] = {
         k: float(np.exp(v))
         for k, v in zip(("ell_x", "ell_y", "ell_t", "sf2", "sn2"),
@@ -347,6 +341,34 @@ def cmd_season(args):
                    precomputed_hypers=_hypers(args))
 
 
+def _scan_results(indir: str, grid_res: int) -> list[tuple[str, str]]:
+    """Sorted (date, path) pairs for per-day result pickles in ``indir``;
+    non-conforming filenames matched by the glob are reported and skipped."""
+    import glob
+    import re
+
+    out = []
+    for f in sorted(
+        glob.glob(os.path.join(indir, f"CS2S3_*_{grid_res}km.pkl"))
+    ):
+        m = re.search(r"CS2S3_(\d{8})_", os.path.basename(f))
+        if not m:
+            print(f"skipping non-conforming result file: {f}", file=sys.stderr)
+            continue
+        out.append((m.group(1), f))
+    if not out:
+        raise SystemExit(f"no CS2S3_YYYYMMDD_{grid_res}km.pkl in {indir}")
+    return out
+
+
+def _grid_axes(datapath: str, grid_res: int):
+    """1-D cell-coordinate axes from the x_/y_{res}km.npy grids
+    ([ix, iy] layout: x varies along axis 0, y along axis 1)."""
+    x = np.load(os.path.join(datapath, f"x_{grid_res}km.npy"))[:, 0]
+    y = np.load(os.path.join(datapath, f"y_{grid_res}km.npy"))[0, :]
+    return x, y
+
+
 def cmd_hypers(args):
     """Seasonal-average hyperparameter fields -> ``.npz`` (quicklook scheme).
 
@@ -358,22 +380,15 @@ def cmd_hypers(args):
     over the season, optionally regrid to a target resolution, and write the
     ``.npz`` that ``daily``/``season`` consume via ``--hypers``.
     """
-    import glob
-    import re
     import warnings
 
     from optimalinterpolation_tpu.io.pickles import load_pickle
     from optimalinterpolation_tpu.pipeline.daily import HYPER_NAMES
 
-    files = sorted(
-        glob.glob(os.path.join(args.indir, f"CS2S3_*_{args.grid_res}km.pkl"))
-    )
-    if not files:
-        raise SystemExit(f"no CS2S3_*_{args.grid_res}km.pkl in {args.indir}")
+    files = _scan_results(args.indir, args.grid_res)
     suffix = "" if args.raw else "_smth"
     stacks = {n: [] for n in HYPER_NAMES}
-    for f in files:
-        date = re.search(r"CS2S3_(\d{8})_", os.path.basename(f)).group(1)
+    for date, f in files:
         d = load_pickle(f)
         for n in HYPER_NAMES:
             stacks[n].append(np.asarray(d[f"{date}_{n}{suffix}"], np.float64))
@@ -388,15 +403,8 @@ def cmd_hypers(args):
         dst_dir = args.target_datapath or args.datapath
         if src_dir is None:
             raise SystemExit("--datapath required for regridding (grid .npy)")
-        # Internal fields are [ix, iy]: x varies along axis 0, y along axis 1.
-        sx = np.load(os.path.join(src_dir, f"x_{args.grid_res}km.npy"))[:, 0]
-        sy = np.load(os.path.join(src_dir, f"y_{args.grid_res}km.npy"))[0, :]
-        dx = np.load(
-            os.path.join(dst_dir, f"x_{args.target_grid_res}km.npy")
-        )[:, 0]
-        dy = np.load(
-            os.path.join(dst_dir, f"y_{args.target_grid_res}km.npy")
-        )[0, :]
+        sx, sy = _grid_axes(src_dir, args.grid_res)
+        dx, dy = _grid_axes(dst_dir, args.target_grid_res)
         avg = {
             n: regrid_field(v.T, sx, sy, dx, dy, fill=not args.no_fill).T
             for n, v in avg.items()
@@ -417,9 +425,6 @@ def cmd_validate(args):
     ``--points`` is an ``.npz`` with arrays ``x``, ``y`` [m, projected],
     ``date`` ('YYYYMMDD' strings) and ``value`` [m].
     """
-    import glob
-    import re
-
     from optimalinterpolation_tpu.io.pickles import load_pickle
     from optimalinterpolation_tpu.validation import PointObs, validate_fields
 
@@ -428,21 +433,11 @@ def cmd_validate(args):
                    value=z["value"])
     suffix = "_smth" if args.smoothed else ""
     fields, uncertainties = {}, {}
-    for f in sorted(
-        glob.glob(os.path.join(args.indir, f"CS2S3_*_{args.grid_res}km.pkl"))
-    ):
-        date = re.search(r"CS2S3_(\d{8})_", os.path.basename(f)).group(1)
+    for date, f in _scan_results(args.indir, args.grid_res):
         d = load_pickle(f)
         fields[date] = np.asarray(d[f"{date}_interp{suffix}"])
         uncertainties[date] = np.asarray(d[f"{date}_interp_error{suffix}"])
-    if not fields:
-        raise SystemExit(f"no CS2S3_*_{args.grid_res}km.pkl in {args.indir}")
-    x_axis = np.load(
-        os.path.join(args.datapath, f"x_{args.grid_res}km.npy")
-    )[:, 0]
-    y_axis = np.load(
-        os.path.join(args.datapath, f"y_{args.grid_res}km.npy")
-    )[0, :]
+    x_axis, y_axis = _grid_axes(args.datapath, args.grid_res)
     stats = validate_fields(obs, fields, x_axis, y_axis,
                             uncertainties=uncertainties)
     print(json.dumps({"days": len(fields), **stats.to_dict()}))

@@ -24,7 +24,49 @@ try:
 except ImportError:  # pragma: no cover
     _HAVE_H5PY = False
 
-__all__ = ["QuicklookField", "write_quicklook", "read_quicklook"]
+__all__ = [
+    "QuicklookField",
+    "write_quicklook",
+    "read_quicklook",
+    "grid_lonlat",
+    "write_result_quicklook",
+]
+
+
+def grid_lonlat(x: np.ndarray, y: np.ndarray):
+    """(lon, lat) for the production grid (npstere boundinglat=60 lon_0=0,
+    ``read_and_bin.py:59``)."""
+    from optimalinterpolation_tpu.data.projection import PolarStereo
+
+    return PolarStereo.from_boundinglat(60.0, 0.0).inverse(x, y)
+
+
+def write_result_quicklook(res, lon, lat, grid_res_km: int, outdir: str) -> str:
+    """Write one daily result as a reference-schema quicklook file.
+
+    THE single encoding of the orientation contract: internal fields are
+    [ix, iy]; the reference's files are [iy, ix] (its shipped lat/lon match
+    ours transposed to 2e-12 deg) — everything is transposed here, and the
+    filename follows ``CS2S3_{date}_{res}km_quicklook.nc``. ``res`` is any
+    object with ``date``, ``interp_smth``, ``interp_error_smth``
+    (pipeline.daily.DailyResult; duck-typed to avoid an io -> pipeline
+    import cycle)."""
+    import os
+
+    path = os.path.join(
+        outdir, f"CS2S3_{res.date}_{grid_res_km}km_quicklook.nc"
+    )
+    write_quicklook(
+        QuicklookField(
+            date=res.date,
+            lat=lat.T,
+            lon=lon.T,
+            radar_freeboard=res.interp_smth.T,
+            uncertainty=res.interp_error_smth.T,
+        ),
+        path,
+    )
+    return path
 
 
 @dataclasses.dataclass

@@ -129,14 +129,15 @@ class DailyConfig:
     # earlier than the fine pass (which uses opt.ftol_abs).
     warmstart_ftol: float = 0.1
     # HBM working-set budget for ONE chunk of cells. The NLL/gradient keeps
-    # ~MEM_BUFFERS live (N, N) matrices per cell; without chunking a populous
-    # bucket at N = 2048 would request tens of GB in one program and kill
-    # the TPU worker. Buckets are split into TILE_MENU launch tiles
-    # (launch_tiles) whose shapes compile once per bucket capacity. 8e9 of the
-    # chip's 16 GB: with the row-streamed blocked gradient (7 buffers/cell)
-    # this runs 48-row chunks at N = 2048 and 16-row at N = 4096 — 2-3x
-    # fewer launches than the old 4e9/12-buffer budget, which matters on a
-    # runtime that charges seconds per launch in degraded phases.
+    # ~_MEM_BUFFERS live (N, N) matrices per cell (3.5 on the blocked path —
+    # see _MEM_BUFFERS_BLOCKED); without chunking a populous bucket at
+    # N = 2048 would request tens of GB in one program and kill the TPU
+    # worker. Buckets are split into TILE_MENU launch tiles (launch_tiles)
+    # whose shapes compile once per bucket capacity. 8e9 of the chip's
+    # 16 GB: with the blocked gradient's 3.5-buffer live set this admits
+    # ~192-row chunks at N = 2048 and ~48-row at N = 4096, minimizing
+    # launches on a runtime that charges seconds per launch in degraded
+    # phases (program-duration caps, not memory, bound the small buckets).
     max_chunk_bytes: float = 8e9
     # Smoothing (reference: std=2 at 25 km else 1, GPR_CS2S3.py:299-302;
     # clip vmaxes :303-307 — ell_t vmax is T, sf2 0.1, sn2 0.05, ell_xy 2*radius)
@@ -197,9 +198,8 @@ def _put(arr, sharding):
 
 # Live (N, N) buffers per cell in HBM, by backend: the fused Pallas kernel
 # keeps everything VMEM-resident (inputs only in HBM); the blocked einsum
-# path holds A blocks + L + T plus row-streamed gradient transients (~7
-# since the trace contractions consume K^-1 one block-row at a time); the
-# XLA autodiff path ~10 (K, A, L, VJP residuals, workspace).
+# path keeps ~3 live (see _MEM_BUFFERS_BLOCKED below); the XLA autodiff
+# path ~10 (K, A, L, VJP residuals, workspace).
 _MEM_BUFFERS = 10
 # Empirical live-set of the row-streamed blocked NLL+grad: XLA's buffer
 # reuse keeps ~3 (N, N) matrices per cell alive (A/L/T; the streamed
@@ -216,7 +216,7 @@ _MEM_BUFFERS_BLOCKED = 3.5
 # (N < 512; larger sizes take the blocked path — see
 # models.optimizer._resolve_backend). VMEM-resident, so chunks are bounded
 # by program duration (the ~200 s runtime watchdog), not HBM.
-_PALLAS_CHUNK_CAP = {128: 2048, 256: 2048, 512: 1024, 1024: 512}
+_PALLAS_CHUNK_CAP = {128: 2048, 256: 2048}
 
 
 def _chunk_rows(
@@ -234,7 +234,11 @@ def _chunk_rows(
         cap = _PALLAS_CHUNK_CAP.get(capacity, 384)
         rows = min(cap, int(max_chunk_bytes // (capacity * 64)))
     else:
-        bufs = _MEM_BUFFERS_BLOCKED if (on_tpu and f32) else _MEM_BUFFERS
+        # The lean 3.5-buffer model only applies where _resolve_backend
+        # actually picks the blocked path (TPU, f32, N % 128 == 0); odd
+        # capacities fall back to the ~10-buffer XLA autodiff path.
+        blocked = on_tpu and f32 and capacity % 128 == 0
+        bufs = _MEM_BUFFERS_BLOCKED if blocked else _MEM_BUFFERS
         per_cell = bufs * capacity * capacity * itemsize
         rows = max(1, int(max_chunk_bytes // per_cell))
     rows = rows // max(restarts, 1)  # restarts multiply in-program work

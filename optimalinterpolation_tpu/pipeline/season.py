@@ -20,7 +20,7 @@ import numpy as np
 from optimalinterpolation_tpu.data.prior import constant_fyi_prior
 from optimalinterpolation_tpu.data.reader import ObsDataset
 from optimalinterpolation_tpu.io.pickles import save_pickle
-from optimalinterpolation_tpu.io.quicklook import QuicklookField, write_quicklook
+from optimalinterpolation_tpu.io.quicklook import write_result_quicklook
 from optimalinterpolation_tpu.pipeline.daily import DailyConfig, DailyResult, interpolate_daily
 
 __all__ = ["SeasonConfig", "run_season", "seasonal_average_hypers"]
@@ -86,10 +86,9 @@ def run_season(
 
     lon, lat = None, None
     if cfg.write_quicklook:
-        from optimalinterpolation_tpu.data.projection import PolarStereo
+        from optimalinterpolation_tpu.io.quicklook import grid_lonlat
 
-        proj = PolarStereo.from_boundinglat(60.0, 0.0)
-        lon, lat = proj.inverse(ds.x, ds.y)
+        lon, lat = grid_lonlat(ds.x, ds.y)
 
     from optimalinterpolation_tpu.pipeline.daily import HYPER_NAMES
 
@@ -137,20 +136,6 @@ def run_season(
         if cfg.write_pickles:
             save_pickle(res.to_reference_dict(), pkl_path)
         if cfg.write_quicklook:
-            # Internal fields are [ix, iy]; the reference's quicklook files
-            # are [iy, ix] (verified against its shipped lat/lon to 2e-12
-            # deg) — transpose so pixels align file-to-file.
-            write_quicklook(
-                QuicklookField(
-                    date=date,
-                    lat=lat.T,
-                    lon=lon.T,
-                    radar_freeboard=res.interp_smth.T,
-                    uncertainty=res.interp_error_smth.T,
-                ),
-                os.path.join(
-                    cfg.outdir, f"CS2S3_{date}_{ds.grid_res_km}km_quicklook.nc"
-                ),
-            )
+            write_result_quicklook(res, lon, lat, ds.grid_res_km, cfg.outdir)
         results.append(res)
     return results

@@ -131,6 +131,15 @@ def test_cell_cli_methods_agree(tiny_season, tmp_path, capsys):
     assert np.isfinite(svgp["mean"]) and svgp["std"] > 0
 
 
+def test_cell_cli_rejects_empty_neighborhood(tiny_season, capsys):
+    with pytest.raises(SystemExit, match="no observations"):
+        main([
+            "cell", "--datapath", tiny_season, "--grid-res", "250",
+            "--prior-mean", "0.15", "--x", "9e9", "--y", "9e9",
+            "--radius-km", "100", "--dtype", "float64",
+        ])
+
+
 def test_daily_cli_writes_pickle_and_quicklook(tiny_season, tmp_path, capsys):
     out = str(tmp_path)
     main([
