@@ -335,8 +335,14 @@ def cmd_season(args):
     ds = _load(args)
     cfg = SeasonConfig(daily=_configs(args), outdir=args.outdir,
                        resume=not args.no_resume)
+    days = None
+    if args.days:
+        start, _, stop = args.days.partition(":")
+        n_windows = ds.n_days - cfg.daily.window_days + 1
+        days = range(n_windows)[slice(int(start or 0),
+                                      int(stop) if stop else None)]
     with _observability(args):
-        run_season(ds, cfg, prior_fn=_prior(args, ds),
+        run_season(ds, cfg, days=days, prior_fn=_prior(args, ds),
                    cell_sharding=_sharding(args),
                    precomputed_hypers=_hypers(args))
 
@@ -475,6 +481,9 @@ def main(argv=None):
     p = sub.add_parser("season", help="produce a season of daily fields")
     _add_daily_args(p)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--days", default=None, metavar="START:STOP",
+                   help="window start-index range (python slice semantics, "
+                        "e.g. 0:30); default = every valid window")
     p.set_defaults(fn=cmd_season)
 
     p = sub.add_parser(
