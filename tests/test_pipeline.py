@@ -296,3 +296,35 @@ def test_chunk_shapes_come_from_tile_menu():
             [c.cell_index for c in _chunks_of(batch(total), 0, fixed_tile=32)]
         )
         assert sorted(idx[idx >= 0]) == list(range(total))
+
+
+def test_chunk_rows_backend_memory_models(monkeypatch):
+    """_chunk_rows must budget HBM with the model of the backend that will
+    actually run (mirrors optimizer._resolve_backend): fused Pallas for
+    N < 512, the lean 3.5-buffer blocked model only for N % 128 == 0, and
+    the ~10-buffer XLA model for odd capacities and f64."""
+    import jax
+
+    from optimalinterpolation_tpu.pipeline import daily as D
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    budget = 8e9
+
+    # N=256 f32: pallas branch, duration-capped
+    assert D._chunk_rows(256, 8, budget, 4) == D._PALLAS_CHUNK_CAP[256]
+
+    # N=512 f32: blocked model (3.5 buffers)
+    expect = int(budget // (D._MEM_BUFFERS_BLOCKED * 512 * 512 * 4))
+    got = D._chunk_rows(512, 8, budget, 4)
+    assert got == (expect // 8) * 8 and got > 1024  # far beyond the old cap
+
+    # N=2000 f32 (not a multiple of 128): resolves to XLA -> 10-buffer model
+    expect_xla = int(budget // (D._MEM_BUFFERS * 2000 * 2000 * 4))
+    assert D._chunk_rows(2000, 8, budget, 4) == max(8, (expect_xla // 8) * 8)
+
+    # f64 never takes the blocked model even at multiple-of-128 sizes
+    expect_f64 = int(budget // (D._MEM_BUFFERS * 2048 * 2048 * 8))
+    assert D._chunk_rows(2048, 8, budget, 8) == max(8, (expect_f64 // 8) * 8)
+
+    # restarts divide the per-chunk row budget
+    assert D._chunk_rows(512, 8, budget, 4, restarts=2) <= got // 2 + 8
