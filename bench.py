@@ -52,6 +52,70 @@ def _dataset():
     return read_freeboard_season(CACHE, GRID_RES_KM, "2018-2019")
 
 
+def supervise() -> int:
+    """Run the bench in a child process and babysit the axon tunnel.
+
+    The tunnel's backend init has two observed failure modes (both transient,
+    outages from minutes to hours): it raises UNAVAILABLE after ~15-25 min,
+    or it hangs indefinitely. The child writes a "warmed" marker once the
+    warm-up pass completes; until that marker exists the child is known to be
+    init-bound (no TPU execution in flight), so it is safe to kill and retry
+    — killing a process MID-EXECUTION can wedge the TPU worker for ~10-20
+    min, which is why the supervisor never kills a warmed child.
+    """
+    deadline = time.time() + float(os.environ.get("OI_BENCH_DEADLINE_S", 7200))
+    init_timeout = float(os.environ.get("OI_BENCH_INIT_TIMEOUT_S", 2700))
+    marker = os.environ.get(
+        "OI_BENCH_WARM_MARKER", f"/tmp/oi_bench_warmed_{os.getpid()}"
+    )
+    env = dict(os.environ, OI_BENCH_CHILD="1", OI_BENCH_WARM_MARKER=marker)
+    attempt = 0
+    try:
+        return _supervise_loop(marker, env, deadline, init_timeout, attempt)
+    finally:
+        if os.path.exists(marker):
+            os.unlink(marker)
+
+
+def _supervise_loop(marker, env, deadline, init_timeout, attempt) -> int:
+    import subprocess
+
+    while True:
+        attempt += 1
+        if os.path.exists(marker):
+            os.unlink(marker)
+        t0 = time.time()
+        child = subprocess.Popen([sys.executable] + sys.argv, env=env)
+        while True:
+            rc = child.poll()
+            if rc is not None:
+                break
+            if (not os.path.exists(marker)
+                    and time.time() - t0 > init_timeout):
+                # Still in backend init / warm-up after the budget: treat as
+                # a hung tunnel. Nothing has reached the device yet, so a
+                # kill cannot wedge the worker.
+                print(f"bench attempt {attempt}: no warm-up after "
+                      f"{init_timeout:.0f}s, killing child", file=sys.stderr)
+                child.kill()
+                child.wait()
+                rc = "timeout"
+                break
+            time.sleep(1)
+        if rc == 0:
+            return 0
+        warmed = os.path.exists(marker)
+        if warmed or time.time() + 300 > deadline:
+            # Post-warm-up failures are real bugs, not tunnel weather; and
+            # past the deadline there is no time for another ~25-min init.
+            return child.returncode or 1
+        pause = float(os.environ.get("OI_BENCH_RETRY_PAUSE_S", 120))
+        print(f"bench attempt {attempt} failed (rc={rc}), retrying in "
+              f"{pause:.0f}s ({deadline - time.time():.0f}s left)",
+              file=sys.stderr)
+        time.sleep(pause)
+
+
 def main():
     import jax
 
@@ -97,20 +161,15 @@ def main():
     # makes the decomposition insensitive to the few-% population jitter
     # between subsample seeds).
     #
-    # The axon tunnel's backend init intermittently fails with a transient
-    # UNAVAILABLE (observed outages from minutes to hours). A failed init can
-    # be cached for the life of the process, so retry by RE-EXECING the
-    # process (fresh backend init), once, after a pause.
-    try:
-        interpolate_daily(subsampled(99), day=0, prior_mean=0.15, config=cfg)
-    except RuntimeError as e:
-        if "UNAVAILABLE" not in str(e) or os.environ.get("OI_BENCH_RETRIED"):
-            raise
-        print(f"warm-up hit transient backend error, re-execing in 120 s: {e}",
-              file=sys.stderr)
-        time.sleep(120)
-        os.environ["OI_BENCH_RETRIED"] = "1"
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    # Transient tunnel failures during init/warm-up are handled by the
+    # supervisor parent (see supervise()): a raised UNAVAILABLE exits this
+    # child nonzero and gets retried with a fresh process (a failed backend
+    # init is cached for the life of the process); a hung init gets killed
+    # at the marker timeout.
+    interpolate_daily(subsampled(99), day=0, prior_mean=0.15, config=cfg)
+    if os.environ.get("OI_BENCH_WARM_MARKER"):
+        with open(os.environ["OI_BENCH_WARM_MARKER"], "w"):
+            pass
 
     # Best of two timed passes: the tunneled TPU runtime's throughput swings
     # >2x on ~10-minute scales (launch latency varies from ~0.3s to tens of
@@ -162,4 +221,6 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("OI_BENCH_CHILD") or os.environ.get("OI_BENCH_NO_SUPERVISE"):
+        sys.exit(main())
+    sys.exit(supervise())

@@ -16,6 +16,7 @@ when line searches misbehave near non-PSD regions).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -141,6 +142,16 @@ def optimize_mll(
     )
 
 
+def blocked_min_n() -> int:
+    """Crossover size above which auto routing prefers the blocked einsum
+    backend over the fused Pallas kernel (v5e-measured default 512). The
+    microbench behind the default excluded per-launch overheads, so
+    OI_BLOCKED_MIN_N exists to A/B the crossover end-to-end without code
+    edits (e.g. =2049 restores pallas-first routing). The pipeline's chunk
+    memory model (pipeline.daily._chunk_rows) keys off the same value."""
+    return int(os.environ.get("OI_BLOCKED_MIN_N", "512"))
+
+
 def _resolve_backend(config: OptimizeConfig, n: int, dtype) -> str:
     if config.backend != "auto":
         return config.backend
@@ -155,7 +166,7 @@ def _resolve_backend(config: OptimizeConfig, n: int, dtype) -> str:
         # kernel's serial per-128-block chain limits it to its cell tile).
         # The fused kernel keeps the small-N sizes where one cell's whole
         # problem fits VMEM and einsum fixed costs dominate.
-        if n % 128 == 0 and n >= 512:
+        if n % 128 == 0 and n >= blocked_min_n():
             return "blocked"
         if pallas_gp.supported(n):
             return "pallas"

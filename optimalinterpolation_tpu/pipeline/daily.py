@@ -212,11 +212,12 @@ _MEM_BUFFERS_BLOCKED = 3.5
 # a ~200 s single program reliably kills the (watchdogged) TPU worker, and
 # long chunks also maximize straggler waste. Caps sized for ~<60 s at 50
 # L-BFGS iterations from measured per-cell optimize throughput on v5e.
-# Caps for the small-N buckets that still run the fused Pallas kernel
-# (N < 512; larger sizes take the blocked path — see
-# models.optimizer._resolve_backend). VMEM-resident, so chunks are bounded
+# Caps for buckets routed to the fused Pallas kernel. Under the default
+# crossover (optimizer.blocked_min_n() == 512) only 128/256 reach the
+# kernel; the 512/1024 entries matter when OI_BLOCKED_MIN_N raises the
+# crossover for an end-to-end A/B. VMEM-resident, so chunks are bounded
 # by program duration (the ~200 s runtime watchdog), not HBM.
-_PALLAS_CHUNK_CAP = {128: 2048, 256: 2048}
+_PALLAS_CHUNK_CAP = {128: 2048, 256: 2048, 512: 1024, 1024: 384}
 
 
 def _chunk_rows(
@@ -227,9 +228,12 @@ def _chunk_rows(
 
     from optimalinterpolation_tpu.ops import pallas_gp
 
+    from optimalinterpolation_tpu.models.optimizer import blocked_min_n
+
     on_tpu = jax.default_backend() == "tpu"
     f32 = itemsize == 4
-    if on_tpu and f32 and capacity < 512 and pallas_gp.supported(capacity):
+    if (on_tpu and f32 and capacity < blocked_min_n()
+            and pallas_gp.supported(capacity)):
         # Fused-kernel sizes (mirrors optimizer._resolve_backend).
         cap = _PALLAS_CHUNK_CAP.get(capacity, 384)
         rows = min(cap, int(max_chunk_bytes // (capacity * 64)))

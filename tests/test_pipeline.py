@@ -328,3 +328,31 @@ def test_chunk_rows_backend_memory_models(monkeypatch):
 
     # restarts divide the per-chunk row budget
     assert D._chunk_rows(512, 8, budget, 4, restarts=2) <= got // 2 + 8
+
+
+def test_blocked_crossover_env_knob(monkeypatch):
+    """OI_BLOCKED_MIN_N moves the pallas<->blocked crossover in BOTH the
+    backend router and the chunk memory model (they must stay in lockstep:
+    the chunk budget assumes the backend that will actually run)."""
+    import jax
+    import jax.numpy as jnp
+
+    from optimalinterpolation_tpu.models import optimizer as O
+    from optimalinterpolation_tpu.pipeline import daily as D
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    budget = 8e9
+    cfg = O.OptimizeConfig()
+
+    # default crossover: 1024 routes blocked, duration caps don't apply
+    monkeypatch.delenv("OI_BLOCKED_MIN_N", raising=False)
+    assert O._resolve_backend(cfg, 1024, jnp.float32) == "blocked"
+    expect = int(budget // (D._MEM_BUFFERS_BLOCKED * 1024 * 1024 * 4))
+    assert D._chunk_rows(1024, 8, budget, 4) == (expect // 8) * 8
+
+    # raised crossover: 1024 routes pallas, duration cap governs the chunk
+    monkeypatch.setenv("OI_BLOCKED_MIN_N", "2049")
+    assert O._resolve_backend(cfg, 1024, jnp.float32) == "pallas"
+    assert D._chunk_rows(1024, 8, budget, 4) == D._PALLAS_CHUNK_CAP[1024]
+    # sizes beyond pallas support still fall through to blocked
+    assert O._resolve_backend(cfg, 4096, jnp.float32) == "blocked"
