@@ -57,11 +57,17 @@ def supervise() -> int:
 
     The tunnel's backend init has two observed failure modes (both transient,
     outages from minutes to hours): it raises UNAVAILABLE after ~15-25 min,
-    or it hangs indefinitely. The child writes a "warmed" marker once the
-    warm-up pass completes; until that marker exists the child is known to be
-    init-bound (no TPU execution in flight), so it is safe to kill and retry
-    — killing a process MID-EXECUTION can wedge the TPU worker for ~10-20
-    min, which is why the supervisor never kills a warmed child.
+    or it hangs indefinitely. The child writes an ".init" marker the moment
+    backend init completes (before any real device work) and a "warmed"
+    marker once the warm-up pass completes. Until the .init marker exists no
+    program has reached the device, so killing the child is safe; after it,
+    a kill can land MID-EXECUTION and wedge the TPU worker for ~10-20 min,
+    so the supervisor only kills an inited child at the hard stop
+    (deadline + OI_BENCH_HARD_GRACE_S), accepting that risk to guarantee the
+    unattended driver run terminates. Failures after the warm marker are
+    real bugs and are never retried; fast pre-init exits (< OI_BENCH_
+    FAST_FAIL_S) are deterministic bugs, not tunnel weather, and bail after
+    two in a row.
     """
     deadline = time.time() + float(os.environ.get("OI_BENCH_DEADLINE_S", 7200))
     init_timeout = float(os.environ.get("OI_BENCH_INIT_TIMEOUT_S", 2700))
@@ -73,34 +79,53 @@ def supervise() -> int:
     try:
         return _supervise_loop(marker, env, deadline, init_timeout, attempt)
     finally:
-        if os.path.exists(marker):
-            os.unlink(marker)
+        for m in (marker, marker + ".init"):
+            if os.path.exists(m):
+                os.unlink(m)
 
 
 def _supervise_loop(marker, env, deadline, init_timeout, attempt) -> int:
     import subprocess
 
+    init_marker = marker + ".init"
+    hard_grace = float(os.environ.get("OI_BENCH_HARD_GRACE_S", 900))
+    fast_fail_s = float(os.environ.get("OI_BENCH_FAST_FAIL_S", 120))
+    fast_fails = 0
     while True:
         attempt += 1
-        if os.path.exists(marker):
-            os.unlink(marker)
+        for m in (marker, init_marker):
+            if os.path.exists(m):
+                os.unlink(m)
         t0 = time.time()
         child = subprocess.Popen([sys.executable] + sys.argv, env=env)
         while True:
             rc = child.poll()
             if rc is not None:
                 break
-            if (not os.path.exists(marker)
-                    and time.time() - t0 > init_timeout):
-                # Still in backend init / warm-up after the budget: treat as
-                # a hung tunnel. Nothing has reached the device yet, so a
+            now = time.time()
+            if (not os.path.exists(init_marker)
+                    and now - t0 > init_timeout):
+                # Still in backend init after the budget: treat as a hung
+                # tunnel. The .init marker is written before the first real
+                # device op, so nothing has reached the device yet and a
                 # kill cannot wedge the worker.
-                print(f"bench attempt {attempt}: no warm-up after "
+                print(f"bench attempt {attempt}: no backend init after "
                       f"{init_timeout:.0f}s, killing child", file=sys.stderr)
                 child.kill()
                 child.wait()
                 rc = "timeout"
                 break
+            if now > deadline + hard_grace:
+                # Hard stop: the child touched the device but hung (tunnel
+                # hangs are documented at hours). Killing it MAY wedge the
+                # worker for ~10-20 min, but past deadline+grace a bounded
+                # unattended run matters more than the wedge risk.
+                print(f"bench attempt {attempt}: hard stop "
+                      f"{hard_grace:.0f}s past deadline, killing child",
+                      file=sys.stderr)
+                child.kill()
+                child.wait()
+                return 1
             time.sleep(1)
         if rc == 0:
             return 0
@@ -109,6 +134,20 @@ def _supervise_loop(marker, env, deadline, init_timeout, attempt) -> int:
             # Post-warm-up failures are real bugs, not tunnel weather; and
             # past the deadline there is no time for another ~25-min init.
             return child.returncode or 1
+        if rc != "timeout" and not os.path.exists(init_marker) \
+                and time.time() - t0 < fast_fail_s:
+            # Exited in seconds without ever touching the backend: a
+            # deterministic bug (ImportError, bad data path), not the
+            # 15-25-min UNAVAILABLE init failure — surface it instead of
+            # retrying it for two hours.
+            fast_fails += 1
+            if fast_fails >= 2:
+                print(f"bench attempt {attempt}: {fast_fails} consecutive "
+                      "fast pre-init failures, giving up (deterministic "
+                      "bug, not tunnel weather)", file=sys.stderr)
+                return child.returncode or 1
+        else:
+            fast_fails = 0
         pause = float(os.environ.get("OI_BENCH_RETRY_PAUSE_S", 120))
         print(f"bench attempt {attempt} failed (rc={rc}), retrying in "
               f"{pause:.0f}s ({deadline - time.time():.0f}s left)",
@@ -165,7 +204,20 @@ def main():
     # supervisor parent (see supervise()): a raised UNAVAILABLE exits this
     # child nonzero and gets retried with a fresh process (a failed backend
     # init is cached for the life of the process); a hung init gets killed
-    # at the marker timeout.
+    # at the .init-marker timeout.
+    #
+    # Probe the device with one trivial program first: backend init (the
+    # 5-8 min / fails-after-25-min phase) completes HERE, and writing the
+    # .init marker closes the supervisor's kill-at-init-timeout window —
+    # from this point on a kill could land mid-execution and wedge the
+    # worker, so the supervisor stops killing (except at the hard stop).
+    import jax.numpy as jnp
+
+    float(jnp.sum(jnp.asarray(np.random.default_rng(0).standard_normal(8),
+                              jnp.float32)))
+    if os.environ.get("OI_BENCH_WARM_MARKER"):
+        with open(os.environ["OI_BENCH_WARM_MARKER"] + ".init", "w"):
+            pass
     interpolate_daily(subsampled(99), day=0, prior_mean=0.15, config=cfg)
     if os.environ.get("OI_BENCH_WARM_MARKER"):
         with open(os.environ["OI_BENCH_WARM_MARKER"], "w"):

@@ -329,20 +329,41 @@ def cmd_cell(args):
     print(json.dumps(out))
 
 
+def _days_spec(spec: str):
+    """``--days`` value -> slice over the season's valid window indices.
+
+    ``"5"`` = window 5 only; ``"2:10"``/``"2:"``/``":10"`` = python slice
+    semantics; ``"0:30:3"`` = every 3rd window. run_season applies the slice
+    to its own valid-window range (one source of truth for the window count).
+    """
+    import argparse
+
+    parts = spec.split(":")
+    try:
+        ints = [int(p) if p else None for p in parts]
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"invalid --days {spec!r}: expected INT, START:STOP, or "
+            "START:STOP:STEP (python slice semantics)"
+        )
+    if len(parts) == 1:
+        i = ints[0]
+        return slice(i, None if i == -1 else i + 1)
+    if len(parts) > 3:
+        raise argparse.ArgumentTypeError(
+            f"invalid --days {spec!r}: at most START:STOP:STEP"
+        )
+    return slice(*ints)
+
+
 def cmd_season(args):
     from optimalinterpolation_tpu.pipeline.season import SeasonConfig, run_season
 
     ds = _load(args)
     cfg = SeasonConfig(daily=_configs(args), outdir=args.outdir,
                        resume=not args.no_resume)
-    days = None
-    if args.days:
-        start, _, stop = args.days.partition(":")
-        n_windows = ds.n_days - cfg.daily.window_days + 1
-        days = range(n_windows)[slice(int(start or 0),
-                                      int(stop) if stop else None)]
     with _observability(args):
-        run_season(ds, cfg, days=days, prior_fn=_prior(args, ds),
+        run_season(ds, cfg, days=args.days, prior_fn=_prior(args, ds),
                    cell_sharding=_sharding(args),
                    precomputed_hypers=_hypers(args))
 
@@ -481,9 +502,11 @@ def main(argv=None):
     p = sub.add_parser("season", help="produce a season of daily fields")
     _add_daily_args(p)
     p.add_argument("--no-resume", action="store_true")
-    p.add_argument("--days", default=None, metavar="START:STOP",
+    p.add_argument("--days", default=None, type=_days_spec,
+                   metavar="START:STOP[:STEP]",
                    help="window start-index range (python slice semantics, "
-                        "e.g. 0:30); default = every valid window")
+                        "e.g. 0:30 or 0:30:3; a bare INT runs that one "
+                        "window); default = every valid window")
     p.set_defaults(fn=cmd_season)
 
     p = sub.add_parser(

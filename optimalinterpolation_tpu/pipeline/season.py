@@ -66,7 +66,7 @@ class SeasonConfig:
 def run_season(
     ds: ObsDataset,
     config: SeasonConfig,
-    days: Optional[Sequence[int]] = None,
+    days: Optional[Sequence[int] | slice] = None,
     prior_fn: Optional[Callable[[int], float]] = None,
     fyi: Optional[np.ndarray] = None,
     cell_sharding=None,
@@ -75,13 +75,19 @@ def run_season(
 ) -> list[DailyResult]:
     """Run every T-day window (or the given ``days`` start indices).
 
-    ``prior_fn(day) -> scalar`` overrides the prior; otherwise the CS2-FYI
-    constant prior is computed from ``fyi`` per day (GPR_CS2S3.py:210-212).
+    ``days`` may be explicit window start indices, or a slice applied to the
+    season's valid-window range (the CLI's ``--days``; the window count
+    ``ds.n_days - T + 1`` is owned here, not by callers). ``prior_fn(day) ->
+    scalar`` overrides the prior; otherwise the CS2-FYI constant prior is
+    computed from ``fyi`` per day (GPR_CS2S3.py:210-212).
     """
     cfg = config
     t = cfg.daily.window_days
+    all_windows = range(ds.n_days - t + 1)
     if days is None:
-        days = range(ds.n_days - t + 1)
+        days = all_windows
+    elif isinstance(days, slice):
+        days = all_windows[days]
     os.makedirs(cfg.outdir, exist_ok=True)
 
     lon, lat = None, None

@@ -167,3 +167,67 @@ def test_daily_cli_writes_pickle_and_quicklook(tiny_season, tmp_path, capsys):
         ql.radar_freeboard.T, d[f"{date}_interp_smth"], equal_nan=True
     )
     assert np.isfinite(ql.uncertainty).sum() == info["cells"]
+
+
+def test_days_spec_parsing():
+    """--days: bare INT = that one window; colon forms = python slice
+    semantics incl. step; junk = argparse error, not a traceback."""
+    import argparse
+
+    import pytest
+
+    from optimalinterpolation_tpu.cli import _days_spec
+
+    windows = range(20)
+    assert list(windows[_days_spec("5")]) == [5]
+    assert list(windows[_days_spec("-1")]) == [19]
+    assert list(windows[_days_spec("2:6")]) == [2, 3, 4, 5]
+    assert list(windows[_days_spec("17:")]) == [17, 18, 19]
+    assert list(windows[_days_spec(":3")]) == [0, 1, 2]
+    assert list(windows[_days_spec("0:10:3")]) == [0, 3, 6, 9]
+    with pytest.raises(argparse.ArgumentTypeError):
+        _days_spec("1:3:2:9")
+    with pytest.raises(argparse.ArgumentTypeError):
+        _days_spec("abc")
+
+
+def test_run_season_resolves_slice_days():
+    """run_season owns the valid-window range: a slice selects from
+    ds.n_days - T + 1 windows (the CLI passes the slice through)."""
+    from optimalinterpolation_tpu.pipeline.season import run_season
+
+    seen = []
+
+    class _DS:
+        n_days = 12
+        grid_res_km = 250
+        dates = [f"d{i}" for i in range(12)]
+
+    import optimalinterpolation_tpu.pipeline.season as S
+    from optimalinterpolation_tpu.pipeline.daily import DailyConfig
+
+    cfg = S.SeasonConfig(
+        daily=DailyConfig(window_days=9),
+        outdir="/tmp/oi_days_slice_test",
+        write_pickles=False,
+        write_quicklook=False,
+    )
+
+    class _Stop(Exception):
+        pass
+
+    def boom(day):
+        # prior_fn is the first per-day call: record which window the slice
+        # resolved to, then abort before any GP work runs.
+        seen.append(day)
+        raise _Stop()
+
+    # 12 days, T=9 -> valid windows are range(4)
+    for spec, first in ((slice(1, 3), 1), (slice(3, None), 3),
+                        (slice(None, None, 2), 0), (None, 0)):
+        seen.clear()
+        try:
+            run_season(_DS(), cfg, days=spec, prior_fn=boom, log=lambda s: None)
+        except _Stop:
+            pass
+        assert seen == [first]
