@@ -176,7 +176,15 @@ def _resolve_backend(config: OptimizeConfig, n: int, dtype) -> str:
 
 
 def _batched_fns(kind: K.Kernel, jitter: float, backend: str, x, y, mask):
-    """(value_fn, value_and_grad_fn) mapping (B, 5) log-hypers -> (B,) / (B, 5).
+    """(value_fn, value_and_grad_fn, factor_pair) for (B, 5) log-hypers.
+
+    ``factor_pair`` is ``(value_and_factors_fn, grad_from_factors_fn)`` on
+    backends whose factorization can be reused (blocked), else ``None``: the
+    L-BFGS line search's last value evaluation is at the accepted iterate, so
+    the follow-up gradient can reuse that evaluation's Cholesky instead of
+    refactorizing — one fewer O(N^3) factorization per accepted iteration.
+    The fused Pallas kernel keeps its factorization VMEM-resident (never
+    written to HBM, the whole point of the fusion), so it cannot export one.
 
     Keyed by (kind, jitter, backend) only — convergence knobs are TRACED
     runtime values (see ``_Knobs``), so warm-start cascade stages, the fine
@@ -201,7 +209,7 @@ def _batched_fns(kind: K.Kernel, jitter: float, backend: str, x, y, mask):
                 h, x, y, mask, kind=kind, jitter=jitter, interpret=interp,
             )
 
-        return value_fn, vg_fn
+        return value_fn, vg_fn, None
 
     if backend == "blocked":
         from optimalinterpolation_tpu.ops import blocked_gp
@@ -216,14 +224,24 @@ def _batched_fns(kind: K.Kernel, jitter: float, backend: str, x, y, mask):
                 h, x, y, mask, kind=kind, jitter=jitter
             )
 
-        return value_fn, vg_fn
+        def vf_fn(h):
+            return blocked_gp.gp_nll_blocked_with_factors(
+                h, x, y, mask, kind=kind, jitter=jitter
+            )
+
+        def gf_fn(h, factors):
+            return blocked_gp.gp_grad_blocked_from_factors(
+                h, x, y, mask, factors, kind=kind, jitter=jitter
+            )
+
+        return value_fn, vg_fn, (vf_fn, gf_fn)
 
     scalar = lambda h, xi, yi, mi: exact_gp.neg_log_marginal_likelihood(  # noqa: E731
         h, xi, yi, mi, kind=kind, jitter=jitter
     )
     value_fn = lambda h: jax.vmap(scalar)(h, x, y, mask)  # noqa: E731
     vg_fn = lambda h: jax.vmap(jax.value_and_grad(scalar))(h, x, y, mask)  # noqa: E731
-    return value_fn, vg_fn
+    return value_fn, vg_fn, None
 
 
 class _Knobs(NamedTuple):
@@ -298,8 +316,15 @@ def _lbfgs_init(vg_fn, h0) -> LbfgsState:
 
 
 def _lbfgs_segment(value_fn, vg_fn, state: LbfgsState, knobs: _Knobs,
-                   seg_iters) -> LbfgsState:
-    """Advance every live cell by up to ``seg_iters`` (traced) iterations."""
+                   seg_iters, pair=None) -> LbfgsState:
+    """Advance every live cell by up to ``seg_iters`` (traced) iterations.
+
+    With ``pair = (value_and_factors_fn, grad_from_factors_fn)`` (the blocked
+    backend), the line search carries each trial evaluation's factorization
+    and the post-search gradient reuses the accepted iterate's factors — one
+    fewer O(N^3) factorization per iteration. Same math as refactorizing at
+    the accepted point (tests pin the two within last-ulp compilation
+    differences), so the trajectory is unchanged."""
     m = _LBFGS_HISTORY
     dt = state.params.dtype
     b, nparam = state.params.shape
@@ -343,27 +368,41 @@ def _lbfgs_segment(value_fn, vg_fn, state: LbfgsState, knobs: _Knobs,
             return v <= value + _LS_C1 * t * gd
 
         def cond(c):
-            t, v, tries = c
+            t, v, tries = c[0], c[1], c[2]
             active = jnp.logical_and(live, jnp.logical_not(armijo(t, v)))
             return jnp.any(jnp.logical_and(tries < _LS_MAX_STEPS, active))
 
         def body(c):
-            t, v, tries = c
+            t, v, tries = c[0], c[1], c[2]
             active = jnp.logical_and(
                 jnp.logical_and(tries < _LS_MAX_STEPS, live),
                 jnp.logical_not(armijo(t, v)),
             )
             t2 = jnp.where(active, t * 0.5, t)
-            v2 = value_fn(params + t2[:, None] * d)
+            if pair is None:
+                v2 = value_fn(params + t2[:, None] * d)
+                tail = ()
+            else:
+                # Inactive cells re-evaluate at their unchanged point, so
+                # taking the new factors wholesale keeps every cell's carried
+                # factors consistent with its current trial iterate.
+                v2, f2 = pair[0](params + t2[:, None] * d)
+                tail = (f2,)
             v = jnp.where(active, v2, v)
-            return t2, v, tries + active.astype(tries.dtype)
+            return (t2, v, tries + active.astype(tries.dtype)) + tail
 
-        v0 = value_fn(params + t0[:, None] * d)
-        t, new_v, _ = jax.lax.while_loop(
-            cond, body, (t0, v0, jnp.zeros((b,), jnp.int32))
+        if pair is None:
+            v0 = value_fn(params + t0[:, None] * d)
+            tail0 = ()
+        else:
+            v0, f0 = pair[0](params + t0[:, None] * d)
+            tail0 = (f0,)
+        out = jax.lax.while_loop(
+            cond, body, (t0, v0, jnp.zeros((b,), jnp.int32)) + tail0
         )
+        t, new_v = out[0], out[1]
         ok = armijo(t, new_v)
-        return t, new_v, ok
+        return t, new_v, ok, (out[3] if pair is not None else None)
 
     def cond(carry):
         st, it = carry
@@ -379,9 +418,14 @@ def _lbfgs_segment(value_fn, vg_fn, state: LbfgsState, knobs: _Knobs,
         descent = (jnp.sum(grad * d, axis=1) < 0.0)[:, None]
         d = jnp.where(descent, d, -grad)
 
-        t, new_v, ls_ok = line_search(params, value, grad, d, live, t_carry)
+        t, new_v, ls_ok, factors = line_search(params, value, grad, d, live, t_carry)
         new_p = params + t[:, None] * d
-        _, new_g = vg_fn(new_p)
+        if pair is None:
+            _, new_g = vg_fn(new_p)
+        else:
+            # The line search's final evaluation was at new_p (per cell);
+            # reuse its factorization instead of refactorizing.
+            new_g = pair[1](new_p, factors)
         g_ok = jnp.all(jnp.isfinite(new_g), axis=1)
         accept = jnp.logical_and(jnp.logical_and(ls_ok, g_ok), live)
 
@@ -468,16 +512,16 @@ def _lbfgs_run_impl(h0, x, y, mask, knobs, max_iters, kind, jitter, backend):
     given launch shape shares one executable (see ``_batched_fns``). value is
     carried in the state (updated on acceptance) — no final NLL evaluation.
     """
-    value_fn, vg_fn = _batched_fns(kind, jitter, backend, x, y, mask)
+    value_fn, vg_fn, pair = _batched_fns(kind, jitter, backend, x, y, mask)
     st = _lbfgs_segment(
-        value_fn, vg_fn, _lbfgs_init(vg_fn, h0), knobs, max_iters
+        value_fn, vg_fn, _lbfgs_init(vg_fn, h0), knobs, max_iters, pair=pair
     )
     return OptimizeResult(st.params, st.value, st.it_cell, st.converged_mask(knobs))
 
 
 @partial(jax.jit, static_argnames=("config", "backend"))
 def _adam_run_impl(log_hypers0, x, y, mask, config, backend):
-    value_fn, vg_fn = _batched_fns(config.kind, config.jitter, backend, x, y, mask)
+    value_fn, vg_fn, _pair = _batched_fns(config.kind, config.jitter, backend, x, y, mask)
     params, _, iters, converged = _optimize_adam_batched(
         vg_fn, log_hypers0, config
     )
@@ -491,11 +535,11 @@ def _lbfgs_sweep_impl(state, x, y, mask, fresh, knobs, seg_iters,
     ``state.params`` (``fresh`` is a traced bool — both branches live in ONE
     executable, halving per-process program loads vs a separate init
     program), then advance live cells by up to ``seg_iters`` iterations."""
-    value_fn, vg_fn = _batched_fns(kind, jitter, backend, x, y, mask)
+    value_fn, vg_fn, pair = _batched_fns(kind, jitter, backend, x, y, mask)
     st = jax.lax.cond(
         fresh, lambda s: _lbfgs_init(vg_fn, s.params), lambda s: s, state
     )
-    return _lbfgs_segment(value_fn, vg_fn, st, knobs, seg_iters)
+    return _lbfgs_segment(value_fn, vg_fn, st, knobs, seg_iters, pair=pair)
 
 
 def optimize_mll_batch(

@@ -36,7 +36,13 @@ from optimalinterpolation_tpu.ops import kernels as K
 from optimalinterpolation_tpu.ops import pallas_gp
 from optimalinterpolation_tpu.ops.kernels import Kernel
 
-__all__ = ["gp_nll_blocked", "gp_nll_and_grad_blocked", "gp_predict_blocked"]
+__all__ = [
+    "gp_nll_blocked",
+    "gp_nll_blocked_with_factors",
+    "gp_grad_blocked_from_factors",
+    "gp_nll_and_grad_blocked",
+    "gp_predict_blocked",
+]
 
 BLK = 128
 PANEL = 512
@@ -284,20 +290,50 @@ def gp_nll_blocked(log_hypers, x, y, mask, kind: Kernel = Kernel.MATERN32, jitte
     return jnp.where(ok, nll, jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "jitter"))
-def gp_nll_and_grad_blocked(
+def gp_nll_blocked_with_factors(
     log_hypers, x, y, mask, kind: Kernel = Kernel.MATERN32, jitter: float = 0.0
 ):
-    """Batched masked NLL + analytic (B, 5) gradient — blocked large-N path."""
-    b, n, _ = x.shape
-    nb = n // BLK
+    """Batched masked NLL plus its factorization, (B,) and a factors tuple.
+
+    Same value as :func:`gp_nll_blocked`, but also returns
+    ``factors = (l, w, z, ok)`` — the blocked Cholesky, diagonal-block
+    inverses, forward-solved residual, and PSD flags — so a caller that later
+    needs the gradient AT THE SAME POINT can skip the O(N^3) refactorization
+    (:func:`gp_grad_blocked_from_factors`). The batched L-BFGS line search
+    uses this: its last value evaluation is at the accepted iterate, so the
+    follow-up gradient reuses that evaluation's factorization, saving one
+    full blocked Cholesky per accepted iteration.
+
+    Not jitted standalone: callers (the optimizer's program, or the composed
+    :func:`gp_nll_and_grad_blocked`) jit the whole surrounding computation.
+    """
     m = mask.astype(x.dtype)
-    ym = y * m
-    _, l, w, logdet, ok, sf2, sn2 = _prep(log_hypers, x, y, mask, kind, jitter)
-    z = _fwd_solve(l, w, _as_block_vec(ym, l.shape[-1]))
+    _, l, w, logdet, ok, _, _ = _prep(log_hypers, x, y, mask, kind, jitter)
+    z = _fwd_solve(l, w, _as_block_vec(y * m, l.shape[-1]))
     quad = jnp.sum(z * z, axis=(1, 2, 3))
     n_valid = jnp.sum(m, axis=1)
     nll = 0.5 * quad + logdet + 0.5 * n_valid * _LOG2PI
+    return jnp.where(ok, nll, jnp.inf), (l, w, z, ok)
+
+
+def gp_grad_blocked_from_factors(
+    log_hypers, x, y, mask, factors,
+    kind: Kernel = Kernel.MATERN32, jitter: float = 0.0,
+):
+    """Analytic (B, 5) NLL gradient from a precomputed factorization.
+
+    ``factors`` must come from :func:`gp_nll_blocked_with_factors` evaluated
+    at the SAME ``log_hypers`` — the gradient is computed from (l, w, z)
+    without rebuilding or refactorizing the covariance. Identical math (and,
+    on a deterministic backend, identical bits) to the gradient half of
+    :func:`gp_nll_and_grad_blocked`.
+    """
+    b, n, _ = x.shape
+    nb = n // BLK
+    m = mask.astype(x.dtype)
+    l, w, z, ok = factors
+    sf2 = jnp.exp(log_hypers[:, 3])
+    sn2 = jnp.exp(log_hypers[:, 4])
 
     alpha = _bwd_solve(l, w, z).reshape(b, n)  # (B, N)
     t = _tinv(l, w)
@@ -353,9 +389,23 @@ def gp_nll_and_grad_blocked(
     gs = gs + jitter * sf2 * qdiag
     gn = sn2 * qdiag
     grad = 0.5 * jnp.concatenate([g_ell, gs[:, None], gn[:, None]], axis=1)
+    return jnp.where(ok[:, None], grad, jnp.nan)
 
-    nll = jnp.where(ok, nll, jnp.inf)
-    grad = jnp.where(ok[:, None], grad, jnp.nan)
+
+@functools.partial(jax.jit, static_argnames=("kind", "jitter"))
+def gp_nll_and_grad_blocked(
+    log_hypers, x, y, mask, kind: Kernel = Kernel.MATERN32, jitter: float = 0.0
+):
+    """Batched masked NLL + analytic (B, 5) gradient — blocked large-N path.
+
+    Composition of :func:`gp_nll_blocked_with_factors` and
+    :func:`gp_grad_blocked_from_factors` (one factorization serves both)."""
+    nll, factors = gp_nll_blocked_with_factors(
+        log_hypers, x, y, mask, kind=kind, jitter=jitter
+    )
+    grad = gp_grad_blocked_from_factors(
+        log_hypers, x, y, mask, factors, kind=kind, jitter=jitter
+    )
     return nll, grad
 
 

@@ -198,3 +198,32 @@ def test_multi_restart_never_worse():
         OptimizeConfig(max_iters=30, restarts=3),
     )
     assert (np.asarray(multi.nll) <= np.asarray(single.nll) + 1e-9).all()
+
+
+def test_blocked_backend_trajectory_matches_xla():
+    """The blocked backend's factor-reuse path (line search carries the
+    factorization; the gradient reuses it — models.optimizer._lbfgs_segment
+    ``pair``) must walk the same trajectory as the XLA autodiff backend:
+    same math, different programs. f64, N=256 (2 blocks)."""
+    rng = np.random.default_rng(3)
+    b, n = 3, 256
+    xs = rng.uniform(-3e5, 3e5, size=(b, n, 3)) * np.asarray([1, 1, 1.2e-5])
+    ys = rng.normal(0.0, 0.1, size=(b, n))
+    masks = (rng.random((b, n)) < 0.9).astype(np.float64)
+    h0 = jnp.tile(jnp.asarray(X0)[None], (b, 1))
+    kw = dict(max_iters=25, grad_tol=1e-6, jitter=1e-6)
+    rb = optimize_mll_batch(
+        h0, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks),
+        OptimizeConfig(backend="blocked", **kw),
+    )
+    rx = optimize_mll_batch(
+        h0, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks),
+        OptimizeConfig(backend="xla", **kw),
+    )
+    np.testing.assert_allclose(
+        np.asarray(rb.nll), np.asarray(rx.nll), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(rb.log_hypers), np.asarray(rx.log_hypers), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(rb.iters), np.asarray(rx.iters))

@@ -129,6 +129,17 @@ def test_blocked_backend_matches_xla(rng):
     nv = blocked_gp.gp_nll_blocked(h, x, y, mask, jitter=1e-6)
     np.testing.assert_allclose(np.asarray(nv), np.asarray(nb_), rtol=1e-13)
 
+    # Factor-reuse split (the optimizer's line-search path): value+factors
+    # followed by grad-from-factors must match the composed evaluation (same
+    # math; last-ulp differences allowed — the composed path compiles as one
+    # fused program, the split calls here run op-by-op).
+    nf, factors = blocked_gp.gp_nll_blocked_with_factors(h, x, y, mask, jitter=1e-6)
+    gf = blocked_gp.gp_grad_blocked_from_factors(
+        h, x, y, mask, factors, jitter=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(nf), np.asarray(nb_), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gb_), rtol=1e-10, atol=1e-11)
+
     from optimalinterpolation_tpu.models.exact_gp_batch import _predict_batch_xla
 
     xs = jnp.asarray(
