@@ -280,14 +280,15 @@ def _as_block_vec(v, blk: int = BLK):
 
 @functools.partial(jax.jit, static_argnames=("kind", "jitter"))
 def gp_nll_blocked(log_hypers, x, y, mask, kind: Kernel = Kernel.MATERN32, jitter: float = 0.0):
-    """Batched masked NLL, (B,) — blocked large-N path. y must be centered."""
-    m = mask.astype(x.dtype)
-    _, l, w, logdet, ok, _, _ = _prep(log_hypers, x, y, mask, kind, jitter)
-    z = _fwd_solve(l, w, _as_block_vec(y * m, l.shape[-1]))
-    quad = jnp.sum(z * z, axis=(1, 2, 3))
-    n_valid = jnp.sum(m, axis=1)
-    nll = 0.5 * quad + logdet + 0.5 * n_valid * _LOG2PI
-    return jnp.where(ok, nll, jnp.inf)
+    """Batched masked NLL, (B,) — blocked large-N path. y must be centered.
+
+    Value half of :func:`gp_nll_blocked_with_factors` (one implementation —
+    the masking/jitter/logdet conventions are lockstep-critical); under jit
+    XLA dead-code-eliminates the unused factor outputs, so the value-only
+    executable is unchanged."""
+    return gp_nll_blocked_with_factors(
+        log_hypers, x, y, mask, kind=kind, jitter=jitter
+    )[0]
 
 
 def gp_nll_blocked_with_factors(

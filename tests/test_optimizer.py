@@ -226,4 +226,8 @@ def test_blocked_backend_trajectory_matches_xla():
     np.testing.assert_allclose(
         np.asarray(rb.log_hypers), np.asarray(rx.log_hypers), atol=1e-5
     )
-    np.testing.assert_array_equal(np.asarray(rb.iters), np.asarray(rx.iters))
+    # Iteration counts may differ by one: Armijo accept/reject is a hard
+    # threshold on values that differ at ~1e-13 between the two numerically
+    # distinct f64 implementations, so a BLAS/XLA version change can flip a
+    # single line-search decision without moving the optimum.
+    assert np.all(np.abs(np.asarray(rb.iters) - np.asarray(rx.iters)) <= 1)
