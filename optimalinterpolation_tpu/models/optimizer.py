@@ -64,13 +64,25 @@ class OptimizeConfig:
     jitter: float = 0.0
     kind: K.Kernel = K.Kernel.MATERN32
     # NLL evaluation backend for the batched path:
-    #   "auto"    — on TPU: fused Pallas kernel for N <= 1024, block-tensor
-    #               einsum path (ops.blocked_gp) for larger buckets; XLA
-    #               elsewhere
+    #   "auto"    — Nystrom objective for N >= nystroem_min_n; on TPU: fused
+    #               Pallas kernel for N <= 1024, block-tensor einsum path
+    #               (ops.blocked_gp) for larger buckets; XLA elsewhere
     #   "xla"     — vmapped jnp/lax implementation (models.exact_gp)
     #   "pallas"  — force the fused kernel (interpret mode off-TPU: test-only)
     #   "blocked" — force the block-tensor path
+    #   "nystroem" — force the rank-M approximate objective (ops.nystroem_gp)
     backend: str = "auto"
+    # Nystrom-objective routing (the reference's own large-n answer,
+    # GP_example.ipynb cell-5): buckets with N >= nystroem_min_n optimize the
+    # rank-nystroem_m approximate marginal likelihood (O(N M^2), all MXU
+    # matmuls) instead of the exact O(N^3) one; prediction stays exact.
+    # 0 disables. Routed only when N >= 2 * nystroem_m (below that the exact
+    # objective is comparably cheap and strictly better). OI_NYSTROEM_MIN_N
+    # overrides the threshold end-to-end without code edits (like
+    # OI_BLOCKED_MIN_N); hyper/prediction parity vs the exact objective is
+    # pinned in tests/test_nystroem_backend.py.
+    nystroem_min_n: int = 2048
+    nystroem_m: int = 512
     # Multi-restart (SURVEY.md section 7 hard part (b)): the MLL has a
     # degenerate noise-only local optimum some cells fall into from the
     # reference x0; restarts re-run the optimization from deterministic
@@ -81,8 +93,10 @@ class OptimizeConfig:
     def __post_init__(self):
         if self.method not in ("lbfgs", "adam"):
             raise ValueError(f"unknown method {self.method!r}")
-        if self.backend not in ("auto", "xla", "pallas", "blocked"):
+        if self.backend not in ("auto", "xla", "pallas", "blocked", "nystroem"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.nystroem_m % 128 != 0:
+            raise ValueError("nystroem_m must be a multiple of 128")
         if not 1 <= self.restarts <= len(_RESTART_OFFSETS):
             raise ValueError(f"restarts must be in [1, {len(_RESTART_OFFSETS)}]")
 
@@ -152,7 +166,25 @@ def blocked_min_n() -> int:
     return int(os.environ.get("OI_BLOCKED_MIN_N", "512"))
 
 
+def routed_nystroem_m(config: OptimizeConfig, n: int) -> int:
+    """The Nystrom rank this problem size will optimize with under auto
+    routing (0 = exact objective). Exposed for pipeline.daily's chunk memory
+    model and stats tagging."""
+    if config.backend == "nystroem":
+        return config.nystroem_m
+    if config.backend != "auto":
+        return 0
+    env = os.environ.get("OI_NYSTROEM_MIN_N")
+    min_n = int(env) if env is not None else config.nystroem_min_n
+    if min_n and n >= min_n and n >= 2 * config.nystroem_m:
+        return config.nystroem_m
+    return 0
+
+
 def _resolve_backend(config: OptimizeConfig, n: int, dtype) -> str:
+    m = routed_nystroem_m(config, n)
+    if m:
+        return f"nystroem:{m}"
     if config.backend != "auto":
         return config.backend
     from optimalinterpolation_tpu.ops import pallas_gp
@@ -207,6 +239,23 @@ def _batched_fns(kind: K.Kernel, jitter: float, backend: str, x, y, mask):
         def vg_fn(h):
             return pallas_gp.gp_nll_and_grad(
                 h, x, y, mask, kind=kind, jitter=jitter, interpret=interp,
+            )
+
+        return value_fn, vg_fn, None
+
+    if backend.startswith("nystroem:"):
+        from optimalinterpolation_tpu.ops import nystroem_gp
+
+        m_ind = int(backend.split(":", 1)[1])
+
+        def value_fn(h):
+            return nystroem_gp.gp_nll_nystroem(
+                h, x, y, mask, m_ind, kind=kind, jitter=jitter
+            )
+
+        def vg_fn(h):
+            return nystroem_gp.gp_nll_and_grad_nystroem(
+                h, x, y, mask, m_ind, kind=kind, jitter=jitter
             )
 
         return value_fn, vg_fn, None
@@ -504,21 +553,6 @@ def _optimize_adam_batched(vg_fn, h0, config: OptimizeConfig):
     return params, None, its, gnorms[-1] <= config.grad_tol
 
 
-@partial(jax.jit, static_argnames=("kind", "jitter", "backend"))
-def _lbfgs_run_impl(h0, x, y, mask, knobs, max_iters, kind, jitter, backend):
-    """Monolithic whole-run L-BFGS program (init + all iterations).
-
-    ``knobs``/``max_iters`` are traced, so every tolerance configuration at a
-    given launch shape shares one executable (see ``_batched_fns``). value is
-    carried in the state (updated on acceptance) — no final NLL evaluation.
-    """
-    value_fn, vg_fn, pair = _batched_fns(kind, jitter, backend, x, y, mask)
-    st = _lbfgs_segment(
-        value_fn, vg_fn, _lbfgs_init(vg_fn, h0), knobs, max_iters, pair=pair
-    )
-    return OptimizeResult(st.params, st.value, st.it_cell, st.converged_mask(knobs))
-
-
 @partial(jax.jit, static_argnames=("config", "backend"))
 def _adam_run_impl(log_hypers0, x, y, mask, config, backend):
     value_fn, vg_fn, _pair = _batched_fns(config.kind, config.jitter, backend, x, y, mask)
@@ -564,10 +598,20 @@ def optimize_mll_batch(
 
     def run(h0, xi, yi, mi):
         if config.method == "lbfgs":
-            return _lbfgs_run_impl(
-                h0, xi, yi, mi, _Knobs.of(config, h0.dtype),
+            # Whole-run = ONE sweep with fresh init and seg_iters =
+            # max_iters: the SAME executable as optimize_mll_chunked's
+            # segment sweeps at this launch shape (identical math — the
+            # sweep's fresh branch is exactly init + segment), so the
+            # monolithic and segmented paths stop costing separate
+            # per-process program loads on the tunneled TPU runtime.
+            knobs = _Knobs.of(config, h0.dtype)
+            st = _lbfgs_sweep_impl(
+                _blank_state(h0), xi, yi, mi, jnp.asarray(True), knobs,
                 jnp.asarray(config.max_iters, jnp.int32),
                 config.kind, config.jitter, backend,
+            )
+            return OptimizeResult(
+                st.params, st.value, st.it_cell, st.converged_mask(knobs)
             )
         return _adam_run_impl(h0, xi, yi, mi, config, backend)
 

@@ -354,5 +354,21 @@ def test_blocked_crossover_env_knob(monkeypatch):
     monkeypatch.setenv("OI_BLOCKED_MIN_N", "2049")
     assert O._resolve_backend(cfg, 1024, jnp.float32) == "pallas"
     assert D._chunk_rows(1024, 8, budget, 4) == D._PALLAS_CHUNK_CAP[1024]
-    # sizes beyond pallas support still fall through to blocked
+    # default: the largest buckets route to the Nystrom objective; with it
+    # disabled, sizes beyond pallas support fall through to blocked
+    monkeypatch.delenv("OI_NYSTROEM_MIN_N", raising=False)
+    assert O._resolve_backend(cfg, 4096, jnp.float32) == "nystroem:512"
+    assert O.routed_nystroem_m(cfg, 4096) == 512
+    assert O.routed_nystroem_m(cfg, 1024) == 0  # below 2 * nystroem_m
+    monkeypatch.setenv("OI_NYSTROEM_MIN_N", "0")
     assert O._resolve_backend(cfg, 4096, jnp.float32) == "blocked"
+    exact_cfg = O.OptimizeConfig(nystroem_min_n=0)
+    monkeypatch.delenv("OI_NYSTROEM_MIN_N", raising=False)
+    assert O._resolve_backend(exact_cfg, 4096, jnp.float32) == "blocked"
+    # nystroem chunk memory model: (N, M) buffers, far leaner than (N, N)
+    expect_nys = int(
+        budget // ((D._MEM_BUFFERS_NYSTROEM * 4096 * 512 + 4 * 512 * 512) * 4)
+    )
+    assert D._chunk_rows(4096, 8, budget, 4, nystroem_m=512) == (
+        max(8, (expect_nys // 8) * 8)
+    )
