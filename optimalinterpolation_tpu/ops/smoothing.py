@@ -27,7 +27,31 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gaussian_kernel_2d", "nan_gaussian_smooth", "smooth_hyper_field"]
+__all__ = [
+    "gaussian_kernel_2d",
+    "nan_gaussian_smooth",
+    "smooth_hyper_field",
+    "smoothing_device",
+]
+
+
+def smoothing_device():
+    """Preferred device for the smoothing convolutions: the HOST CPU when
+    the default backend is an accelerator, else None (use the default).
+
+    The smoothing step is ~10 MFLOP once per day (five 320x320 normalized
+    convolutions) — pure launch overhead on an accelerator. Measured on the
+    tunneled TPU runtime it cost 636 s of a 783 s daily pass (program-load +
+    degraded-phase launch latency); on the host CPU it is milliseconds. The
+    reference runs it on rank 0's CPU too (GPR_CS2S3.py:299-307). Use as
+    ``with jax.default_device(smoothing_device() or jax.devices()[0]): ...``
+    or guard on None."""
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
 
 
 def gaussian_kernel_2d(std: float, dtype=jnp.float32) -> jax.Array:

@@ -201,12 +201,19 @@ def _put(arr, sharding):
 # path keeps ~3 live (see _MEM_BUFFERS_BLOCKED below); the XLA autodiff
 # path ~10 (K, A, L, VJP residuals, workspace).
 _MEM_BUFFERS = 10
-# Empirical live-set of the row-streamed blocked NLL+grad: XLA's buffer
-# reuse keeps ~3 (N, N) matrices per cell alive (A/L/T; the streamed
-# gradient recycles its row panels). Probed on the 16 GB v5e: N=4096 B=48
-# and N=2048 B=192 both run (the old 7-buffer model called them 2x
-# oversubscribed). 3.5 leaves ~15% headroom within the 8 GB chunk budget.
-_MEM_BUFFERS_BLOCKED = 3.5
+# Live (N, N) set of the blocked OPTIMIZE path. The factor-reuse line
+# search carries each trial's factorization (L is O(N^2)/cell) through the
+# while_loop while the next trial's _prep builds a fresh A and L — up to ~3
+# simultaneously live (N, N) buffers per cell, plus T during the gradient.
+# The pre-carry structure probed at 3.5x on the 16 GB v5e (N=4096 B=48 ran
+# with ~15% headroom); 4.5 covers the extra carried buffer conservatively
+# until a carry-path re-probe. Production exposure is small: with the
+# Nystrom objective routing N >= 2048 (O(N M) memory), blocked optimize
+# runs only at N = 512/1024 where even 4.5x is far under budget.
+_MEM_BUFFERS_BLOCKED = 4.5
+# Predict performs ONE factorization (A, L live; solves recycle panels) and
+# carries nothing across iterations.
+_MEM_BUFFERS_BLOCKED_PREDICT = 2.5
 # Cap pallas chunks by EXPECTED PROGRAM DURATION, not just memory: one
 # optimize program runs the whole lockstep L-BFGS for its chunk on-device;
 # a ~200 s single program reliably kills the (watchdogged) TPU worker, and
@@ -220,9 +227,15 @@ _MEM_BUFFERS_BLOCKED = 3.5
 _PALLAS_CHUNK_CAP = {128: 2048, 256: 2048, 512: 1024, 1024: 384}
 
 
+# Live buffers on the Nystrom objective path, in units of (N, M) arrays per
+# cell: Knm, Phi, their VJP residuals, and the 3 per-dimension displacement
+# transients of the cross-kernel build (nothing (N, N)-sized exists).
+_MEM_BUFFERS_NYSTROEM = 10
+
+
 def _chunk_rows(
     capacity: int, batch_multiple: int, max_chunk_bytes: float, itemsize: int,
-    restarts: int = 1,
+    restarts: int = 1, nystroem_m: int = 0, predict_only: bool = False,
 ) -> int:
     import jax
 
@@ -232,17 +245,29 @@ def _chunk_rows(
 
     on_tpu = jax.default_backend() == "tpu"
     f32 = itemsize == 4
-    if (on_tpu and f32 and capacity < blocked_min_n()
+    if nystroem_m:
+        per_cell = (
+            _MEM_BUFFERS_NYSTROEM * capacity * nystroem_m
+            + 4 * nystroem_m * nystroem_m
+        ) * itemsize
+        rows = max(1, int(max_chunk_bytes // per_cell))
+    elif (on_tpu and f32 and capacity < blocked_min_n()
             and pallas_gp.supported(capacity)):
         # Fused-kernel sizes (mirrors optimizer._resolve_backend).
         cap = _PALLAS_CHUNK_CAP.get(capacity, 384)
         rows = min(cap, int(max_chunk_bytes // (capacity * 64)))
     else:
-        # The lean 3.5-buffer model only applies where _resolve_backend
+        # The lean blocked-path models only apply where _resolve_backend
         # actually picks the blocked path (TPU, f32, N % 128 == 0); odd
         # capacities fall back to the ~10-buffer XLA autodiff path.
         blocked = on_tpu and f32 and capacity % 128 == 0
-        bufs = _MEM_BUFFERS_BLOCKED if blocked else _MEM_BUFFERS
+        if blocked:
+            bufs = (
+                _MEM_BUFFERS_BLOCKED_PREDICT if predict_only
+                else _MEM_BUFFERS_BLOCKED
+            )
+        else:
+            bufs = _MEM_BUFFERS
         per_cell = bufs * capacity * capacity * itemsize
         rows = max(1, int(max_chunk_bytes // per_cell))
     rows = rows // max(restarts, 1)  # restarts multiply in-program work
@@ -256,7 +281,8 @@ def _predict_tile(capacity: int, batch_multiple: int, max_chunk_bytes: float,
     Cholesky per cell), so padding waste is irrelevant next to the ~10-40 s
     per-process load every DISTINCT executable costs on the tunneled TPU
     runtime — one tile shape per capacity means one predict executable."""
-    rows = _chunk_rows(capacity, batch_multiple, max_chunk_bytes, itemsize)
+    rows = _chunk_rows(capacity, batch_multiple, max_chunk_bytes, itemsize,
+                       predict_only=True)
     cap = min(512, rows)
     return max((t for t in TILE_MENU if t <= cap), default=8)
 
@@ -316,6 +342,192 @@ def _prefix_subset(b: NeighborhoodBatch, n_sub: int):
     return b.x[:, :n_sub], b.z[:, :n_sub], b.mask[:, :n_sub]
 
 
+def _smooth_fields(grids: dict, vmaxes: dict, sie_day, std: float) -> dict:
+    """Clip + NaN-aware-smooth the 5 hyper fields (GPR_CS2S3.py:299-307),
+    pinned to the host CPU device off-accelerator: the work is ~10 MFLOP and
+    accelerator launch overhead dominates it by 3-4 orders of magnitude
+    (see ops.smoothing.smoothing_device)."""
+    import contextlib
+
+    from optimalinterpolation_tpu.ops.smoothing import smoothing_device
+
+    dev = smoothing_device()
+    ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+    with ctx:
+        sie_j = jnp.asarray(sie_day)
+        return {
+            name: np.asarray(
+                smooth_hyper_field(
+                    jnp.asarray(grids[name]), vmaxes[name], sie_j, std=std
+                )
+            )
+            for name in HYPER_NAMES
+        }
+
+
+def _optimize_bucket(
+    full_b: NeighborhoodBatch,
+    x0,
+    init_at_cells: Optional[np.ndarray],
+    prior_rows: np.ndarray,
+    cfg: DailyConfig,
+    opt_cfg: OptimizeConfig,
+    dtype,
+    cell_sharding,
+    stats: Optional[list],
+    seed_init: bool = False,
+    hypers_only: bool = False,
+):
+    """Pass-1 hyperparameter optimization for one bucket: warm-start cascade
+    (DailyConfig.warmstart_n) + segmented/compacted fine pass.
+
+    Shared by the single-day (:func:`interpolate_daily`) and multi-day wave
+    (:mod:`pipeline.multiday`) pipelines — ``prior_rows`` is a per-row prior
+    mean so rows from different days (different priors) can share one bucket.
+    Mutates ``full_b`` in place (valid-point shuffling). Returns
+    ``(lh_all | None, chunk)``: the (B, 5) optimized log-hypers (None for
+    non-lbfgs methods) and the chunk row count for downstream launches.
+    """
+    from optimalinterpolation_tpu.models.optimizer import routed_nystroem_m
+
+    # Optimization problem size for this bucket: capped to a uniform
+    # subsample in the seed pass (DailyConfig.seed_opt_n); prediction
+    # always uses the full neighborhood.
+    cap = full_b.capacity
+    permuted = False
+    if hypers_only and cfg.seed_opt_n and cap > cfg.seed_opt_n:
+        cap = cfg.seed_opt_n
+        _permute_valid_points(full_b)
+        permuted = True
+    # Nystrom-objective routing (models.optimizer): the rank-M landmark
+    # set is the first M neighbor slots, so rows must be shuffled for it
+    # to be a uniform subsample (the cascade path shuffles anyway; chained
+    # warm starts skip the cascade and need it done here).
+    nys_m = routed_nystroem_m(opt_cfg, cap)
+    if nys_m and not permuted:
+        _permute_valid_points(full_b)
+        permuted = True
+    chunk = _chunk_rows(cap, cfg.batch_multiple, cfg.max_chunk_bytes,
+                        dtype.itemsize, restarts=cfg.opt.restarts,
+                        nystroem_m=nys_m)
+    if opt_cfg.method != "lbfgs":
+        return None, chunk
+    # Segmented + compacted optimization over the whole bucket: converged
+    # cells stop costing device time instead of idling in lockstep.
+    h0_all = np.tile(np.asarray(x0)[None], (len(full_b), 1))
+    chained = False
+    if init_at_cells is not None:
+        ci = full_b.cell_index
+        realr = ci >= 0
+        vals = np.full((len(full_b), 5), np.nan)
+        vals[realr] = init_at_cells[ci[realr]]
+        warm = np.isfinite(vals).all(axis=1)
+        h0_all[warm] = np.log(np.maximum(vals[warm], 1e-300)).astype(dtype)
+        # Chained inits come from a full-N optimum of an overlapping
+        # window — skip the subsample cascade when they cover the bucket
+        # (the few cold cells, e.g. newly active ice edge, just take
+        # more fine iterations and drain via compaction).
+        chained = warm.mean() > 0.5
+    fine_cfg = opt_cfg
+    if chained:
+        # restarts probe alternative basins from x0; pointless (and 2-4x
+        # the work) when starting at yesterday's optimum.
+        fine_cfg = dataclasses.replace(opt_cfg, restarts=1)
+    # Day-chained inits are THIS cell's optimum from an overlapping
+    # window: subsample stages would pull the hypers toward the
+    # subsample's own optimum, away from an already-excellent start —
+    # skip the cascade. Spatial-seed inits (seed_init) are a NEARBY
+    # cell's optimum: cheap subsample stages adapt them to this cell's
+    # data before the expensive full-N pass (measured at N=4096:
+    # median fine iters 23 -> ~5, the bucket is 38% of pass wall).
+    ws_n = (
+        cfg.warmstart_n_seeded
+        if seed_init and cfg.warmstart_n_seeded
+        else cfg.warmstart_n
+    )
+    use_cascade = (
+        (not chained or seed_init)
+        and ws_n and cap > ws_n
+    )
+    prior_col = prior_rows.astype(dtype)[:, None]
+    if use_cascade:
+        # Cascaded subsampled warm start (see DailyConfig.warmstart_n):
+        # optimize on a warmstart_n-point subset, then on doubled subset
+        # sizes up to N/2 — each stage O(8x) cheaper per iteration than
+        # the next and convergent in a few iterations from the previous
+        # stage's optimum. Restarts run only in the cheapest first stage;
+        # later stages polish the winner.
+        if not permuted:
+            _permute_valid_points(full_b)
+        stage_ftol = max(opt_cfg.ftol_abs, cfg.warmstart_ftol)
+        stage_cfg = dataclasses.replace(
+            opt_cfg, ftol_abs=stage_ftol,
+            restarts=1 if chained else opt_cfg.restarts,
+        )
+        n_sub = ws_n
+        while n_sub < cap:
+            t_stage = time.time()
+            sx, sz, sm = _prefix_subset(full_b, n_sub)
+            stage_nys_m = routed_nystroem_m(stage_cfg, n_sub)
+            wchunk = _chunk_rows(
+                n_sub, cfg.batch_multiple, cfg.max_chunk_bytes,
+                dtype.itemsize, restarts=stage_cfg.restarts,
+                nystroem_m=stage_nys_m,
+            )
+            pre = optimize_mll_chunked(
+                h0_all, sx, sz - prior_col, sm,
+                stage_cfg, chunk_rows=wchunk,
+                segment_iters=cfg.opt_segment_iters,
+                sharding=cell_sharding,
+            )
+            h0_all = np.asarray(pre.log_hypers)
+            stage_cfg = dataclasses.replace(
+                opt_cfg, restarts=1, ftol_abs=stage_ftol
+            )
+            logger.info(
+                "bucket N=%d B=%d warmstart n=%d: %.1fs, median iters %.0f",
+                full_b.capacity, len(full_b), n_sub,
+                time.time() - t_stage, np.median(np.asarray(pre.iters)),
+            )
+            if stats is not None:
+                e = {
+                    "stage": "cascade", "n": n_sub, "cells": len(full_b),
+                    "wall_s": time.time() - t_stage,
+                    "iters_sum": int(np.sum(np.asarray(pre.iters))),
+                }
+                if stage_nys_m:
+                    e["m"] = stage_nys_m
+                stats.append(e)
+            n_sub *= 2
+        fine_cfg = dataclasses.replace(stage_cfg, ftol_abs=opt_cfg.ftol_abs)
+    t_opt = time.time()
+    if cap < full_b.capacity:
+        fx, fz, fm = _prefix_subset(full_b, cap)
+    else:
+        fx, fz, fm = full_b.x, full_b.z, full_b.mask
+    opt_all = optimize_mll_chunked(
+        h0_all, fx, fz - prior_col,
+        fm, fine_cfg, chunk_rows=chunk,
+        segment_iters=cfg.opt_segment_iters, sharding=cell_sharding,
+    )
+    lh_all = np.asarray(opt_all.log_hypers)
+    its = np.asarray(opt_all.iters)
+    logger.info(
+        "bucket N=%d B=%d optimize (n=%d): %.1fs, iters median %.0f max %d",
+        full_b.capacity, len(full_b), cap, time.time() - t_opt,
+        np.median(its), its.max() if its.size else 0,
+    )
+    if stats is not None:
+        e = {
+            "stage": "opt", "n": cap, "cells": len(full_b),
+            "wall_s": time.time() - t_opt, "iters_sum": int(np.sum(its)),
+        }
+        if nys_m:
+            e["m"] = nys_m
+        stats.append(e)
+    return lh_all, chunk
+
+
 def interpolate_daily(
     ds: ObsDataset,
     day: int,
@@ -324,6 +536,7 @@ def interpolate_daily(
     cell_sharding=None,
     precomputed_hypers: Optional[dict] = None,
     init_hypers: Optional[dict] = None,
+    stats: Optional[list] = None,
     _hypers_only: bool = False,
     _seed_init: bool = False,
 ) -> DailyResult:
@@ -354,6 +567,9 @@ def interpolate_daily(
         Optimization still runs to the same tolerances — this changes the
         path, not the target, unlike ``precomputed_hypers`` which skips
         optimization entirely.
+      stats: optional list; per-stage dict entries are appended
+        ({stage, n, cells, wall_s, iters_sum}) so callers (bench.py) can
+        report per-bucket economics (wall, FLOPs, effective TFLOP/s).
     """
     cfg = config
     t_mid = cfg.t_mid
@@ -385,10 +601,14 @@ def interpolate_daily(
             ds_seed.sie = seed_sie
             flat_cfg = dataclasses.replace(cfg, spatial_seed_stride=0)
             t_seed = time.time()
+            n_stats0 = len(stats) if stats is not None else 0
             seed_res = interpolate_daily(
                 ds_seed, day, prior_mean, flat_cfg, cell_sharding=cell_sharding,
-                _hypers_only=True,
+                stats=stats, _hypers_only=True,
             )
+            if stats is not None:
+                for e in stats[n_stats0:]:
+                    e["stage"] = "seed:" + e["stage"]
             init = {
                 name: nearest_fill(seed_res.hypers[name], ds.x, ds.y)
                 for name in HYPER_NAMES
@@ -399,7 +619,7 @@ def interpolate_daily(
             )
             return interpolate_daily(
                 ds, day, prior_mean, flat_cfg, cell_sharding=cell_sharding,
-                init_hypers=init, _seed_init=True,
+                init_hypers=init, stats=stats, _seed_init=True,
             )
     sat = ds.obs[:, :, :, day : day + cfg.window_days]
 
@@ -481,114 +701,13 @@ def interpolate_daily(
     # ---- pass 1: per-cell MLL optimization + prediction (GPR3D(opt=True)) --
     opt_cfg = dataclasses.replace(cfg.opt, kind=cfg.kind, jitter=cfg.jitter)
     for full_b in batches:
-      # Optimization problem size for this bucket: capped to a uniform
-      # subsample in the seed pass (DailyConfig.seed_opt_n); the predict
-      # path below always uses the full neighborhood.
-      cap = full_b.capacity
-      permuted = False
-      if _hypers_only and cfg.seed_opt_n and cap > cfg.seed_opt_n:
-          cap = cfg.seed_opt_n
-          _permute_valid_points(full_b)
-          permuted = True
-      chunk = _chunk_rows(cap, cfg.batch_multiple, cfg.max_chunk_bytes,
-                          dtype.itemsize, restarts=cfg.opt.restarts)
       t_bucket = time.time()
-      if opt_cfg.method == "lbfgs":
-        # Segmented + compacted optimization over the whole bucket: converged
-        # cells stop costing device time instead of idling in lockstep.
-        h0_all = np.tile(np.asarray(x0)[None], (len(full_b), 1))
-        chained = False
-        if init_at_cells is not None:
-            ci = full_b.cell_index
-            realr = ci >= 0
-            vals = np.full((len(full_b), 5), np.nan)
-            vals[realr] = init_at_cells[ci[realr]]
-            warm = np.isfinite(vals).all(axis=1)
-            h0_all[warm] = np.log(np.maximum(vals[warm], 1e-300)).astype(dtype)
-            # Chained inits come from a full-N optimum of an overlapping
-            # window — skip the subsample cascade when they cover the bucket
-            # (the few cold cells, e.g. newly active ice edge, just take
-            # more fine iterations and drain via compaction).
-            chained = warm.mean() > 0.5
-        fine_cfg = opt_cfg
-        if chained:
-            # restarts probe alternative basins from x0; pointless (and 2-4x
-            # the work) when starting at yesterday's optimum.
-            fine_cfg = dataclasses.replace(opt_cfg, restarts=1)
-        # Day-chained inits are THIS cell's optimum from an overlapping
-        # window: subsample stages would pull the hypers toward the
-        # subsample's own optimum, away from an already-excellent start —
-        # skip the cascade. Spatial-seed inits (_seed_init) are a NEARBY
-        # cell's optimum: cheap subsample stages adapt them to this cell's
-        # data before the expensive full-N pass (measured at N=4096:
-        # median fine iters 23 -> ~5, the bucket is 38% of pass wall).
-        ws_n = (
-            cfg.warmstart_n_seeded
-            if _seed_init and cfg.warmstart_n_seeded
-            else cfg.warmstart_n
-        )
-        use_cascade = (
-            (not chained or _seed_init)
-            and ws_n and cap > ws_n
-        )
-        if use_cascade:
-            # Cascaded subsampled warm start (see DailyConfig.warmstart_n):
-            # optimize on a warmstart_n-point subset, then on doubled subset
-            # sizes up to N/2 — each stage O(8x) cheaper per iteration than
-            # the next and convergent in a few iterations from the previous
-            # stage's optimum. Restarts run only in the cheapest first stage;
-            # later stages polish the winner.
-            if not permuted:
-                _permute_valid_points(full_b)
-            stage_ftol = max(opt_cfg.ftol_abs, cfg.warmstart_ftol)
-            stage_cfg = dataclasses.replace(
-                opt_cfg, ftol_abs=stage_ftol,
-                restarts=1 if chained else opt_cfg.restarts,
-            )
-            n_sub = ws_n
-            while n_sub < cap:
-                t_stage = time.time()
-                sx, sz, sm = _prefix_subset(full_b, n_sub)
-                wchunk = _chunk_rows(
-                    n_sub, cfg.batch_multiple, cfg.max_chunk_bytes,
-                    dtype.itemsize, restarts=stage_cfg.restarts,
-                )
-                pre = optimize_mll_chunked(
-                    h0_all, sx, sz - np.asarray(prior_mean, dtype), sm,
-                    stage_cfg, chunk_rows=wchunk,
-                    segment_iters=cfg.opt_segment_iters,
-                    sharding=cell_sharding,
-                )
-                h0_all = np.asarray(pre.log_hypers)
-                stage_cfg = dataclasses.replace(
-                    opt_cfg, restarts=1, ftol_abs=stage_ftol
-                )
-                logger.info(
-                    "bucket N=%d B=%d warmstart n=%d: %.1fs, median iters %.0f",
-                    full_b.capacity, len(full_b), n_sub,
-                    time.time() - t_stage, np.median(np.asarray(pre.iters)),
-                )
-                n_sub *= 2
-            fine_cfg = dataclasses.replace(stage_cfg, ftol_abs=opt_cfg.ftol_abs)
-        t_opt = time.time()
-        if cap < full_b.capacity:
-            fx, fz, fm = _prefix_subset(full_b, cap)
-        else:
-            fx, fz, fm = full_b.x, full_b.z, full_b.mask
-        opt_all = optimize_mll_chunked(
-            h0_all, fx, fz - np.asarray(prior_mean, dtype),
-            fm, fine_cfg, chunk_rows=chunk,
-            segment_iters=cfg.opt_segment_iters, sharding=cell_sharding,
-        )
-        lh_all = np.asarray(opt_all.log_hypers)
-        its = np.asarray(opt_all.iters)
-        logger.info(
-            "bucket N=%d B=%d optimize (n=%d): %.1fs, iters median %.0f max %d",
-            full_b.capacity, len(full_b), cap, time.time() - t_opt,
-            np.median(its), its.max() if its.size else 0,
-        )
-      else:
-        lh_all = None
+      prior_rows = np.full((len(full_b),), prior_mean, dtype)
+      lh_all, chunk = _optimize_bucket(
+          full_b, x0, init_at_cells, prior_rows, cfg, opt_cfg, dtype,
+          cell_sharding, stats, seed_init=_seed_init,
+          hypers_only=_hypers_only,
+      )
       if _hypers_only and lh_all is not None:
         # Seed pass: only the optimized hyper fields are consumed
         # (nearest-filled into phase-B inits) — skip the predict launches.
@@ -605,6 +724,7 @@ def interpolate_daily(
                         cfg.max_chunk_bytes, dtype.itemsize)
           if lh_all is not None else None
       )
+      t_pred = time.time()
       row0 = 0
       for b in _chunks_of(full_b, chunk, fixed_tile=ft):
         bx = _put(jnp.asarray(b.x), cell_sharding)
@@ -633,6 +753,11 @@ def interpolate_daily(
         _scatter(grids["lZ"], active_ij, b.cell_index, np.asarray(pred.lZ))
         for hi, name in enumerate(HYPER_NAMES):
             _scatter(grids[name], active_ij, b.cell_index, hyp[:, hi])
+      if stats is not None:
+          stats.append({
+              "stage": "predict", "n": full_b.capacity, "cells": len(full_b),
+              "wall_s": time.time() - t_pred, "iters_sum": 0,
+          })
       logger.info(
           "bucket N=%d B=%d pass-1 total: %.1fs",
           full_b.capacity, len(full_b), time.time() - t_bucket,
@@ -660,13 +785,13 @@ def interpolate_daily(
         "sf2": cfg.sf2_vmax,
         "sn2": cfg.sn2_vmax,
     }
-    sie_j = jnp.asarray(sie_day)
-    hypers_smth = {
-        name: np.asarray(
-            smooth_hyper_field(jnp.asarray(grids[name]), vmaxes[name], sie_j, std=std)
-        )
-        for name in HYPER_NAMES
-    }
+    t_smooth = time.time()
+    hypers_smth = _smooth_fields(grids, vmaxes, sie_day, std)
+    if stats is not None:
+        stats.append({
+            "stage": "smooth", "n": int(shape[0]), "cells": 5,
+            "wall_s": time.time() - t_smooth, "iters_sum": 0,
+        })
 
     # ---- pass 2: re-predict with smoothed hypers (GPR3D(opt=False)) -------
     t_p2 = time.time()
@@ -676,6 +801,7 @@ def interpolate_daily(
         [hypers_smth[name][active_ij] for name in HYPER_NAMES], axis=1
     )  # (M, 5) in linear space
     for full_b in batches:
+      t_b2 = time.time()
       ft = _predict_tile(full_b.capacity, cfg.batch_multiple,
                          cfg.max_chunk_bytes, dtype.itemsize)
       for b in _chunks_of(full_b, 0, fixed_tile=ft):
@@ -694,6 +820,11 @@ def interpolate_daily(
         )
         _scatter(interp_smth, active_ij, b.cell_index, np.asarray(pred.mean))
         _scatter(interp_error_smth, active_ij, b.cell_index, np.asarray(pred.std))
+      if stats is not None:
+        stats.append({
+            "stage": "pass2", "n": full_b.capacity, "cells": len(full_b),
+            "wall_s": time.time() - t_b2, "iters_sum": 0,
+        })
     logger.info("pass-2 re-predict: %.1fs", time.time() - t_p2)
 
     return DailyResult(
