@@ -61,6 +61,14 @@ class SeasonConfig:
     # instead of ~30 from the reference x0. Off = every day cold-starts
     # (bit-reproducible per day regardless of which days ran before).
     chain_warmstart: bool = True
+    # Wave-parallel days (pipeline.multiday): process the season in STRIDED
+    # waves of up to this many days, each wave's cells stacked into one
+    # combined batch (bigger launches; the cells axis spans the whole device
+    # mesh). Wave j = positions [j::n_waves] of the day list, so every day
+    # of wave j >= 1 warm-starts from its immediate predecessor (computed in
+    # wave j-1); wave 0 cold-starts with spatial seeding. 0/1 = one day at a
+    # time (the reference's per-mpirun-job granularity, GPR_CS2S3.py:336).
+    day_parallel: int = 1
 
 
 def run_season(
@@ -95,6 +103,11 @@ def run_season(
         from optimalinterpolation_tpu.io.quicklook import grid_lonlat
 
         lon, lat = grid_lonlat(ds.x, ds.y)
+
+    if cfg.day_parallel > 1 and precomputed_hypers is None:
+        return _run_season_waves(
+            ds, cfg, list(days), prior_fn, fyi, cell_sharding, lon, lat, log
+        )
 
     from optimalinterpolation_tpu.pipeline.daily import HYPER_NAMES
 
@@ -145,3 +158,90 @@ def run_season(
             write_result_quicklook(res, lon, lat, ds.grid_res_km, cfg.outdir)
         results.append(res)
     return results
+
+
+def _prior_for(day: int, prior_fn, fyi) -> float:
+    if prior_fn is not None:
+        return prior_fn(day)
+    if fyi is not None:
+        return constant_fyi_prior(fyi, day)
+    raise ValueError("provide prior_fn or fyi")
+
+
+def _run_season_waves(
+    ds, cfg: SeasonConfig, days: list, prior_fn, fyi, cell_sharding,
+    lon, lat, log,
+) -> list[DailyResult]:
+    """Strided-wave season (SeasonConfig.day_parallel): see interpolate_days.
+
+    Day at list position p warm-starts from position p - 1 (one wave
+    earlier); resume-skipped days still feed their pickled hypers into the
+    chain, like the serial path.
+    """
+    from optimalinterpolation_tpu.pipeline.daily import HYPER_NAMES
+    from optimalinterpolation_tpu.pipeline.multiday import interpolate_days
+
+    n_waves = max(1, -(-len(days) // cfg.day_parallel))
+    results_by_pos: dict[int, DailyResult] = {}
+    chain_by_pos: dict[int, dict] = {}
+    for j in range(n_waves):
+        wave_pos = list(range(j, len(days), n_waves))
+        run_pos, inits = [], []
+        for p in wave_pos:
+            day = days[p]
+            date = ds.dates[day + cfg.daily.t_mid]
+            pkl_path = os.path.join(
+                cfg.outdir, f"CS2S3_{date}_{ds.grid_res_km}km.pkl"
+            )
+            if cfg.resume and cfg.write_pickles and os.path.exists(pkl_path):
+                log(f"[season] {date}: exists, skipping (resume)")
+                if cfg.chain_warmstart:
+                    try:
+                        from optimalinterpolation_tpu.io.pickles import load_pickle
+
+                        prev = load_pickle(pkl_path)
+                        chain_by_pos[p] = {
+                            n: prev[f"{date}_{n}"] for n in HYPER_NAMES
+                        }
+                    except Exception:
+                        pass
+                continue
+            run_pos.append(p)
+            inits.append(
+                chain_by_pos.get(p - 1) if cfg.chain_warmstart else None
+            )
+        if not run_pos:
+            continue
+        t0 = time.time()
+        res_list = interpolate_days(
+            ds,
+            [days[p] for p in run_pos],
+            [_prior_for(days[p], prior_fn, fyi) for p in run_pos],
+            cfg.daily,
+            cell_sharding=cell_sharding,
+            init_hypers=inits if any(i is not None for i in inits) else None,
+        )
+        wall = time.time() - t0
+        n_cells = sum(int(np.isfinite(r.interp).sum()) for r in res_list)
+        log(
+            f"[season] wave {j + 1}/{n_waves} ({len(run_pos)} days): "
+            f"{n_cells} cells in {wall:.1f}s "
+            f"({n_cells / max(wall, 1e-9):.1f} cells/s)"
+        )
+        for p, res in zip(run_pos, res_list):
+            if cfg.chain_warmstart:
+                chain_by_pos[p] = res.hypers
+            results_by_pos[p] = res
+            if cfg.write_pickles:
+                save_pickle(
+                    res.to_reference_dict(),
+                    os.path.join(
+                        cfg.outdir,
+                        f"CS2S3_{res.date}_{ds.grid_res_km}km.pkl",
+                    ),
+                )
+            if cfg.write_quicklook:
+                write_result_quicklook(
+                    res, lon, lat, ds.grid_res_km, cfg.outdir
+                )
+    return [results_by_pos[p] for p in sorted(results_by_pos)]
