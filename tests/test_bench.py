@@ -52,8 +52,9 @@ def test_supervisor_does_not_retry_after_warmup(tmp_path, monkeypatch):
     bench = _load_bench()
     state = tmp_path / "attempts"
     stub = tmp_path / "child.py"
-    # Warms up, then fails: a post-warm-up failure is a real bug (and the
-    # child may have had TPU work in flight) — must NOT be retried.
+    # Warms up (= its first JSON line is already printed), then fails: must
+    # NOT be retried (a ~5-8 min re-init cannot beat the printed line), and
+    # must exit 0 so the driver parses the line that is out.
     stub.write_text(
         "import os, sys\n"
         f"state = {str(state)!r}\n"
@@ -65,7 +66,7 @@ def test_supervisor_does_not_retry_after_warmup(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", [str(stub)])
     monkeypatch.setenv("OI_BENCH_RETRY_PAUSE_S", "0.1")
     monkeypatch.setenv("OI_BENCH_DEADLINE_S", "600")
-    assert bench.supervise() == 7
+    assert bench.supervise() == 0
     assert state.read_text() == "1"
 
 
@@ -133,3 +134,53 @@ def test_supervisor_hard_stops_inited_hung_child(tmp_path, monkeypatch):
     monkeypatch.setenv("OI_BENCH_HARD_GRACE_S", "15")
     monkeypatch.setenv("OI_BENCH_INIT_TIMEOUT_S", "600")
     assert bench.supervise() == 1
+
+
+def test_supervisor_hard_stop_exits_zero_if_warmed(tmp_path, monkeypatch):
+    bench = _load_bench()
+    stub = tmp_path / "child.py"
+    # Prints its first JSON (warm marker), then hangs. Past deadline + grace
+    # the supervisor kills it but exits 0: the printed line stands.
+    stub.write_text(
+        "import os, sys, time\n"
+        "open(os.environ['OI_BENCH_WARM_MARKER'] + '.init', 'w').close()\n"
+        "open(os.environ['OI_BENCH_WARM_MARKER'], 'w').close()\n"
+        "time.sleep(600)\n"
+    )
+    monkeypatch.setattr(sys, "argv", [str(stub)])
+    monkeypatch.setenv("OI_BENCH_DEADLINE_S", "1")
+    monkeypatch.setenv("OI_BENCH_HARD_GRACE_S", "10")
+    monkeypatch.setenv("OI_BENCH_INIT_TIMEOUT_S", "600")
+    assert bench.supervise() == 0
+
+
+def test_economics_groups_stages_and_reports_tflops():
+    bench = _load_bench()
+    stats = [
+        {"stage": "opt", "n": 1024, "cells": 100, "wall_s": 2.0,
+         "iters_sum": 500},
+        {"stage": "opt", "n": 1024, "cells": 50, "wall_s": 1.0,
+         "iters_sum": 250},
+        {"stage": "pass2", "n": 1024, "cells": 150, "wall_s": 0.5,
+         "iters_sum": 0},
+        {"stage": "seed:cascade", "n": 512, "cells": 10, "wall_s": 0.2,
+         "iters_sum": 30},
+        {"stage": "opt", "n": 4096, "m": 512, "cells": 8, "wall_s": 0.4,
+         "iters_sum": 40},
+    ]
+    eco = bench._economics(stats, wall=4.0)
+    assert set(eco["stages"]) == {
+        "opt:n1024", "pass2:n1024", "seed:cascade:n512", "opt:n4096:m512"
+    }
+    merged = eco["stages"]["opt:n1024"]
+    assert merged["cells"] == 150 and merged["iters"] == 750
+    assert merged["wall_s"] == 3.0
+    # opt FLOP model: iters * (2.2*1.2 + 2) * n^3/3
+    expect_tf = 750 * (2.2 * 1.2 + 2.0) * 1024**3 / 3 / 1e12
+    assert abs(merged["tflops"] - expect_tf) < 0.01 * expect_tf + 0.02
+    # nystroem entries (with "m") use the n*m^2 model, far below chol(n)
+    nys = eco["stages"]["opt:n4096:m512"]
+    exact_tf = 40 * (2.2 * 1.2 + 2.0) * 4096**3 / 3 / 1e12
+    assert nys["tflops"] < exact_tf / 4
+    assert eco["total_model_tflops"] > 0
+    assert eco["eff_tflops_per_s"] == round(eco["total_model_tflops"] / 4.0, 2)
