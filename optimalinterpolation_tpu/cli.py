@@ -361,7 +361,8 @@ def cmd_season(args):
 
     ds = _load(args)
     cfg = SeasonConfig(daily=_configs(args), outdir=args.outdir,
-                       resume=not args.no_resume)
+                       resume=not args.no_resume,
+                       day_parallel=args.day_parallel)
     with _observability(args):
         run_season(ds, cfg, days=args.days, prior_fn=_prior(args, ds),
                    cell_sharding=_sharding(args),
@@ -432,8 +433,11 @@ def cmd_hypers(args):
             raise SystemExit("--datapath required for regridding (grid .npy)")
         sx, sy = _grid_axes(src_dir, args.grid_res)
         dx, dy = _grid_axes(dst_dir, args.target_grid_res)
+        om = "builtin" if args.ocean_mask == "builtin" else None
         avg = {
-            n: regrid_field(v.T, sx, sy, dx, dy, fill=not args.no_fill).T
+            n: regrid_field(
+                v.T, sx, sy, dx, dy, fill=not args.no_fill, ocean_mask=om
+            ).T
             for n, v in avg.items()
         }
 
@@ -507,6 +511,10 @@ def main(argv=None):
                    help="window start-index range (python slice semantics, "
                         "e.g. 0:30 or 0:30:3; a bare INT runs that one "
                         "window); default = every valid window")
+    p.add_argument("--day-parallel", type=int, default=1, metavar="W",
+                   help="process the season in strided waves of up to W "
+                        "days stacked into one combined cell batch "
+                        "(pipeline.multiday); 1 = one day at a time")
     p.set_defaults(fn=cmd_season)
 
     p = sub.add_parser(
@@ -560,6 +568,12 @@ def main(argv=None):
                    help="grid .npy dir for the target res (default --datapath)")
     p.add_argument("--no-fill", action="store_true",
                    help="skip nearest-neighbour fill outside the footprint")
+    p.add_argument("--ocean-mask", choices=("footprint", "builtin"),
+                   default="footprint",
+                   help="'builtin' = the committed quicklook-derived "
+                        "ice-capable-ocean mask (replaces the reference's "
+                        "global_land_mask; real 2018-2019 domain only); "
+                        "'footprint' = the regridded field's own validity")
     p.set_defaults(fn=cmd_hypers)
 
     p = sub.add_parser(

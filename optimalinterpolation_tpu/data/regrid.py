@@ -9,10 +9,15 @@ sea-ice concentration -> 5 km EASE grid) without the xESMF/ESMF stack:
     interior),
   * nearest-neighbour fill of NaN holes (the reference's post-pass with
     ``scipy cKDTree``-style filling),
-  * ocean masking: the reference uses the ``global_land_mask`` package; that
-    dependency is replaced by masking against the source product's own
-    validity footprint (NSIDC SIC is only defined over ocean), with an
-    optional user-supplied mask taking precedence.
+  * ocean masking: the reference uses the ``global_land_mask`` package
+    (``regrid_xesmf.py:14``); that dependency is replaced by a COMMITTED
+    ocean mask derived from the reference's own 232 published quicklook
+    products (tools/derive_ocean_mask.py — the union of every finite
+    freeboard cell, i.e. the maximum ice-capable-ocean footprint of the
+    production domain), loadable at any grid resolution via
+    :func:`load_ocean_mask`. A user-supplied mask takes precedence; with
+    neither, the source product's own validity footprint is used (NSIDC SIC
+    is only defined over ocean).
 
 Also used to regrid 50 km seasonal-average hyperparameter fields onto the
 25 km production grid — the quicklook acceleration path
@@ -24,7 +29,47 @@ from __future__ import annotations
 import numpy as np
 from scipy.spatial import cKDTree
 
-__all__ = ["bilinear_regrid", "nearest_fill", "regrid_field"]
+__all__ = ["bilinear_regrid", "nearest_fill", "regrid_field", "load_ocean_mask"]
+
+
+def load_ocean_mask(
+    dst_x: np.ndarray | None = None, dst_y: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The committed ice-capable-ocean mask (replaces ``global_land_mask``).
+
+    Derived from the union footprint of the reference's 232 published
+    quicklook NetCDFs (see tools/derive_ocean_mask.py): True = a 25 km polar
+    stereographic cell that carried finite freeboard on at least one
+    published day. With ``dst_x/dst_y`` given (1-D or 2-D cell-centre
+    coords), the mask is nearest-neighbour resampled onto that grid.
+
+    Returns ``(mask, x, y)`` on the requested (or native 320x320/25 km) grid.
+    """
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "static", "ocean_mask_25km.npz"
+    )
+    with np.load(path) as z:
+        mask, x, y = z["mask"], z["x"], z["y"]
+    if dst_x is None:
+        return mask, x, y
+    gx = dst_x if np.ndim(dst_x) == 2 else np.meshgrid(dst_x, dst_y)[0]
+    gy = dst_y if np.ndim(dst_y) == 2 else np.meshgrid(dst_x, dst_y)[1]
+    ix = np.clip(np.searchsorted(x, gx.ravel()) - 0, 0, x.size - 1)
+    # snap to the NEAREST source cell centre (searchsorted gives the right
+    # neighbour; compare with the left one)
+    left = np.clip(ix - 1, 0, x.size - 1)
+    ix = np.where(
+        np.abs(x[left] - gx.ravel()) <= np.abs(x[ix] - gx.ravel()), left, ix
+    )
+    iy = np.clip(np.searchsorted(y, gy.ravel()), 0, y.size - 1)
+    lefty = np.clip(iy - 1, 0, y.size - 1)
+    iy = np.where(
+        np.abs(y[lefty] - gy.ravel()) <= np.abs(y[iy] - gy.ravel()), lefty, iy
+    )
+    out = mask[iy, ix].reshape(gx.shape)
+    return out, dst_x, dst_y
 
 
 def bilinear_regrid(
@@ -103,16 +148,23 @@ def regrid_field(
     dst_x: np.ndarray,
     dst_y: np.ndarray,
     fill: bool = True,
-    ocean_mask: np.ndarray | None = None,
+    ocean_mask: np.ndarray | str | None = None,
 ) -> np.ndarray:
     """The full reference C2 flow: bilinear regrid -> NaN fill -> mask.
 
     ``ocean_mask`` (destination-shaped bool, True = ocean) replaces the
-    reference's ``global_land_mask``; when None, the regridded validity
-    footprint itself is the mask (SIC products are ocean-only by
-    construction).
+    reference's ``global_land_mask``. ``"builtin"`` loads the committed
+    quicklook-derived mask (:func:`load_ocean_mask`) resampled to the
+    destination grid — use it for real 2018-2019-domain products; the
+    default ``None`` masks by the regridded validity footprint itself (SIC
+    products are ocean-only by construction; also correct for synthetic
+    data, whose ice ignores real coastlines).
     """
     out = bilinear_regrid(src, src_x, src_y, dst_x, dst_y)
+    if isinstance(ocean_mask, str):
+        if ocean_mask != "builtin":
+            raise ValueError(f"unknown ocean_mask {ocean_mask!r}")
+        ocean_mask, _, _ = load_ocean_mask(dst_x, dst_y)
     if ocean_mask is None:
         ocean_mask = np.isfinite(
             nearest_fill(out, dst_x, dst_y)

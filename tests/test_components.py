@@ -85,3 +85,27 @@ def test_stage_timer():
         sum(range(10000))
     s = t.summary()
     assert s["work"]["items"] == 100 and s["work"]["seconds"] >= 0
+
+
+def test_builtin_ocean_mask_loads_and_regrids():
+    """The committed quicklook-derived ocean mask (reference C2's
+    global_land_mask replacement, regrid_xesmf.py:14): native load,
+    nearest resample to another grid, and the regrid_field wiring."""
+    from optimalinterpolation_tpu.data.regrid import load_ocean_mask
+
+    mask, x, y = load_ocean_mask()
+    assert mask.shape == (320, 320) and mask.dtype == bool
+    assert mask[157:163, 157:163].all()  # pole is ice-capable ocean
+    assert not mask[0, 0] and not mask[-1, -1]  # domain corners are not
+    assert 0.1 < mask.mean() < 0.3
+
+    # resample to a coarser grid: agrees with direct subsampling at centres
+    cx = x[2::4]
+    cy = y[2::4]
+    m2, _, _ = load_ocean_mask(cx, cy)
+    np.testing.assert_array_equal(m2, mask[2::4][:, 2::4])
+
+    # regrid_field(ocean_mask="builtin") masks land, keeps central ocean
+    src = np.ones((320, 320))
+    out = regrid_field(src, x, y, x, y, ocean_mask="builtin")
+    assert np.isnan(out[0, 0]) and out[160, 160] == 1.0
