@@ -31,8 +31,17 @@ __all__ = ["NeighborhoodBatch", "gather_neighborhoods", "bucketize_counts"]
 # every bucket capacity is its own family of compiled executables (~10-40 s
 # per-process load each on the tunneled TPU runtime). Folding them into the
 # 256 bucket costs negligible masked compute and keeps the executable set
-# identical across days.
-DEFAULT_BUCKETS = (256, 512, 1024, 2048, 4096)
+# identical across days. OI_BUCKET_128=1 (read at import, like the other
+# A/B env knobs) restores the 128 bucket end-to-end so the trade can be
+# measured on hardware (the reference never pads at all,
+# GPR_CS2S3.py:159-161); masked identity-padding makes the two routings
+# agree to float noise (tests/test_neighbors.py), so this is purely a
+# launch-economics decision — measurements recorded in DESIGN.md.
+import os as _os
+
+DEFAULT_BUCKETS = (
+    (128,) if _os.environ.get("OI_BUCKET_128") else ()
+) + (256, 512, 1024, 2048, 4096)
 
 
 @dataclasses.dataclass

@@ -67,3 +67,42 @@ def test_oversize_keeps_nearest(rng):
     d_all = np.sort(np.hypot(tv.x - 5e5, tv.y - 5e5))
     d_got = np.sort(np.hypot(b.x[0][got, 0] - 5e5, b.x[0][got, 1] - 5e5))
     np.testing.assert_allclose(d_got, d_all[:16], rtol=1e-6)
+
+
+def test_bucket_128_routing_is_semantically_noop(rng):
+    """OI_BUCKET_128 is a launch-economics knob only: the same cells routed
+    to a 128-capacity bucket vs padded into 256 must optimize to the same
+    hypers (masked identity-padding makes every per-row quantity independent
+    of bucket capacity). The reference never pads (GPR_CS2S3.py:159-161)."""
+    import jax.numpy as jnp
+
+    from optimalinterpolation_tpu.models.exact_gp import HYPER_INIT_LOG
+    from optimalinterpolation_tpu.models.optimizer import (
+        OptimizeConfig,
+        optimize_mll_batch,
+    )
+
+    tv = _vectors(rng, n=400)
+    cells = rng.uniform(2e5, 8e5, size=(6, 2))
+    radius = 1.2e5  # ~40-90 neighbors per cell: all fit in a 128 bucket
+    outs = {}
+    for buckets in ((128, 256, 4096), (256, 4096)):
+        batches = gather_neighborhoods(
+            tv, cells, t_star=4.0, radius_m=radius, buckets=buckets,
+            dtype=np.float64, batch_multiple=2,
+        )
+        assert batches[0].capacity == buckets[0]
+        b = batches[0]
+        h0 = jnp.tile(HYPER_INIT_LOG(1e5, dtype=jnp.float64)[None], (len(b), 1))
+        res = optimize_mll_batch(
+            h0, jnp.asarray(b.x), jnp.asarray(b.z - 0.1 * b.mask),
+            jnp.asarray(b.mask),
+            OptimizeConfig(backend="xla", max_iters=25),
+        )
+        lh = np.asarray(res.log_hypers)
+        outs[buckets[0]] = {
+            int(ci): lh[r] for r, ci in enumerate(b.cell_index) if ci >= 0
+        }
+    assert set(outs[128]) == set(outs[256]) == set(range(6))
+    for ci in outs[128]:
+        np.testing.assert_allclose(outs[128][ci], outs[256][ci], rtol=1e-9)

@@ -67,8 +67,9 @@ def test_pipeline_end_to_end(small_season):
     for field_name in ("interp", "interp_smth"):
         field = d[f"{res.date}_{field_name}"]
         got = np.isfinite(field[active])
-        # >97% of active cells interpolated (cells with zero neighbors or a
-        # failed Cholesky are NaN, like the reference's LinAlgError path)
+        # Nearly all active cells interpolated (cells with zero neighbors or
+        # a failed Cholesky are NaN, like the reference's LinAlgError path);
+        # the sparse-track fixture leaves up to ~10% with no neighbors.
         assert got.mean() > 0.9, f"{field_name}: only {got.mean():.1%} finite"
         err = field[active] - truth[4][active]
         rmse = np.sqrt(np.nanmean(err**2))
