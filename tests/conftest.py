@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # JAX_PLATFORMS=axon captured; config.update still wins pre-backend-init.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the f64 pipeline tests compile a handful of
+# ~30-60 s CPU executables (batched L-BFGS while_loops); the cache keys on
+# the computation + jaxlib version, so repeat suite runs skip them safely.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/oi_jax_cache_cpu"),
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
