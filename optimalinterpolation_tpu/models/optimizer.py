@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -799,6 +801,10 @@ def optimize_mll_chunked(
     # The first sweep passes fresh=True — the sweep program initializes the
     # L-BFGS state from params in-branch (no separate init executable).
     knobs = _Knobs.of(config, log_hypers0.dtype)
+    # OI_OPT_TRACE=1: per-launch phase timing (upload / execute / writeback)
+    # to stderr. Execution is forced with a 1-element host readback — the
+    # tunneled runtime's block_until_ready is a no-op.
+    trace = bool(os.environ.get("OI_OPT_TRACE"))
     host = None
     live = None
     iters_done = 0
@@ -807,6 +813,7 @@ def optimize_mll_chunked(
         seg = max(0, min(segment_iters, config.max_iters - iters_done))
         idx = np.arange(b_tot) if fresh else np.nonzero(live)[0]
         for real, rows in chunks_over(idx):
+            t0 = time.perf_counter()
             if fresh:
                 st = _blank_state(put(h0[rows]))
             else:
@@ -816,11 +823,18 @@ def optimize_mll_chunked(
                 st = _host_rows_to_state(
                     host, rows, jnp.asarray if sharding is not None else put
                 )
+            xd, yd, md = put(x[base[rows]]), put(y[base[rows]]), put(mask[base[rows]])
+            if trace:
+                np.asarray(jax.device_get(md.ravel()[-1]))  # force uploads
+                t1 = time.perf_counter()
             out = _lbfgs_sweep_impl(
-                st, put(x[base[rows]]), put(y[base[rows]]), put(mask[base[rows]]),
+                st, xd, yd, md,
                 jnp.asarray(fresh), knobs, jnp.asarray(seg, jnp.int32),
                 config.kind, config.jitter, backend,
             )
+            if trace:
+                np.asarray(jax.device_get(out.value[-1]))  # force execution
+                t2 = time.perf_counter()
             if host is None:
                 hd = _state_to_host(out)
                 host = {
@@ -828,6 +842,15 @@ def optimize_mll_chunked(
                     for k, v in hd.items()
                 }
             _writeback(host, real, out)
+            if trace:
+                t3 = time.perf_counter()
+                print(
+                    f"[opt-trace] n={x.shape[1]} rows={rows.size} "
+                    f"real={real.size} seg={seg} fresh={fresh} "
+                    f"upload={t1 - t0:.2f}s exec={t2 - t1:.2f}s "
+                    f"writeback={t3 - t2:.2f}s",
+                    file=sys.stderr, flush=True,
+                )
         live = live_mask()
         iters_done += seg
         fresh = False
