@@ -154,6 +154,76 @@ def test_supervisor_hard_stop_exits_zero_if_warmed(tmp_path, monkeypatch):
     assert bench.supervise() == 0
 
 
+def test_supervisor_kills_warmed_child_at_deadline_and_exits_zero(
+    tmp_path, monkeypatch
+):
+    bench = _load_bench()
+    stub = tmp_path / "child.py"
+    # Warm line out, child still mid-pass at the DEADLINE (not deadline +
+    # grace): the r1/r2 driver artifacts prove only an rc=0 exit before the
+    # driver's own timeout is parsed, so the supervisor must kill and exit 0
+    # immediately at the deadline instead of waiting out the grace window.
+    stub.write_text(
+        "import os, sys, time\n"
+        "open(os.environ['OI_BENCH_WARM_MARKER'] + '.init', 'w').close()\n"
+        "open(os.environ['OI_BENCH_WARM_MARKER'], 'w').close()\n"
+        "time.sleep(600)\n"
+    )
+    monkeypatch.setattr(sys, "argv", [str(stub)])
+    monkeypatch.setenv("OI_BENCH_DEADLINE_S", "3")
+    monkeypatch.setenv("OI_BENCH_HARD_GRACE_S", "500")
+    monkeypatch.setenv("OI_BENCH_INIT_TIMEOUT_S", "600")
+    import time as _time
+
+    t0 = _time.time()
+    assert bench.supervise() == 0
+    # exited at ~deadline, NOT deadline + grace
+    assert _time.time() - t0 < 60
+
+
+def test_economics_flags_anomalous_stages():
+    bench = _load_bench()
+    # 81 s for a ~0.1-TFLOP n=256 stage (a real r2 tunnel launch storm,
+    # .bench_r2a_full.log:61) must flag; a 214 s n=1024 stage doing 175
+    # model-TFLOPs (real work) must not.
+    stats = [
+        {"stage": "opt", "n": 256, "cells": 208, "wall_s": 81.0,
+         "iters_sum": 3305},
+        {"stage": "opt", "n": 1024, "cells": 8936, "wall_s": 214.3,
+         "iters_sum": 105204},
+    ]
+    eco = bench._economics(stats, wall=300.0)
+    assert eco["anomalous_stages"] == ["opt:n256"]
+    assert eco["stages"]["opt:n256"].get("anomaly") is True
+    assert "anomaly" not in eco["stages"]["opt:n1024"]
+    assert bench._pass_anomalous(eco, wall=300.0)  # 81/300 > 15%
+    assert not bench._pass_anomalous(eco, wall=1000.0)
+
+
+def test_finalize_prefers_clean_wave_then_best_production(capsys):
+    import json
+
+    bench = _load_bench()
+    daily = lambda v, anom=False: {  # noqa: E731
+        "metric": "daily_panarctic_optimized_cells_per_sec", "value": v,
+        "detail": {"anomaly": anom},
+    }
+    wave = lambda v, anom=False: {  # noqa: E731
+        "metric": "season_wave_optimized_cells_per_sec", "value": v,
+        "detail": {"anomaly": anom},
+    }
+    # clean wave wins even when a production line has a bigger value
+    assert bench._finalize([daily(30.0), wave(20.0)]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["value"] == 20.0
+    # anomalous wave loses to the best clean production line
+    assert bench._finalize([daily(8.0), daily(17.0), wave(20.0, anom=True)]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["value"] == 17.0
+    # everything anomalous: best value wins anyway
+    assert bench._finalize([daily(8.0, anom=True), wave(20.0, anom=True)]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["value"] == 20.0
+    assert bench._finalize([]) == 1
+
+
 def test_economics_groups_stages_and_reports_tflops():
     bench = _load_bench()
     stats = [
