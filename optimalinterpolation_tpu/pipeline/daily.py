@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Optional, Sequence
 
@@ -128,6 +129,17 @@ class DailyConfig:
     # added data will move anyway — so stages stop an order of magnitude
     # earlier than the fine pass (which uses opt.ftol_abs).
     warmstart_ftol: float = 0.1
+    # Per-cell cascade drain: a cell whose log-hypers moved by less than this
+    # (inf-norm) during a cascade stage is DROPPED from the remaining (4x
+    # costlier per iteration) cascade stages — doubling the subsample halves
+    # the estimator variance, so an estimate that stopped moving at n stays
+    # put at 2n, and the cell would only pay each later stage's init NLL+grad
+    # evaluation for zero iterations (measured at full scale: the n=2048
+    # warmstart stage of the N=4096 bucket ran MEDIAN 0 iterations at 26.5 s
+    # wall, .bench_r2a_full.log:122). The fine full-N pass still runs for
+    # every cell at the production tolerances, so this changes the path, not
+    # the target. 0 disables; OI_CASCADE_SKIP_TOL overrides for hardware A/B.
+    cascade_skip_tol: float = float(os.environ.get("OI_CASCADE_SKIP_TOL", "0.05"))
     # HBM working-set budget for ONE chunk of cells. The NLL/gradient keeps
     # ~_MEM_BUFFERS live (N, N) matrices per cell (3.5 on the blocked path —
     # see _MEM_BUFFERS_BLOCKED); without chunking a populous bucket at
@@ -465,9 +477,26 @@ def _optimize_bucket(
             restarts=1 if chained else opt_cfg.restarts,
         )
         n_sub = ws_n
+        # Per-cell drain (DailyConfig.cascade_skip_tol): cells whose
+        # estimate stopped moving exit the cascade early; a stage with no
+        # remaining cells is skipped outright (no launch at all).
+        active = np.ones(len(full_b), bool)
         while n_sub < cap:
+            rows = np.nonzero(active)[0]
+            if rows.size == 0:
+                logger.info(
+                    "bucket N=%d B=%d warmstart n=%d: skipped (all cells "
+                    "drained)", full_b.capacity, len(full_b), n_sub,
+                )
+                n_sub *= 2
+                continue
             t_stage = time.time()
             sx, sz, sm = _prefix_subset(full_b, n_sub)
+            h0_stage = h0_all[rows]
+            pc_stage = prior_col
+            if rows.size < len(full_b):
+                sx, sz, sm = sx[rows], sz[rows], sm[rows]
+                pc_stage = prior_col[rows]
             stage_nys_m = routed_nystroem_m(stage_cfg, n_sub)
             wchunk = _chunk_rows(
                 n_sub, cfg.batch_multiple, cfg.max_chunk_bytes,
@@ -475,23 +504,29 @@ def _optimize_bucket(
                 nystroem_m=stage_nys_m,
             )
             pre = optimize_mll_chunked(
-                h0_all, sx, sz - prior_col, sm,
+                h0_stage, sx, sz - pc_stage, sm,
                 stage_cfg, chunk_rows=wchunk,
                 segment_iters=cfg.opt_segment_iters,
                 sharding=cell_sharding,
             )
-            h0_all = np.asarray(pre.log_hypers)
+            new_h = np.asarray(pre.log_hypers)
+            if cfg.cascade_skip_tol > 0:
+                moved = np.max(np.abs(new_h - h0_stage), axis=1)
+                active[rows] = moved >= cfg.cascade_skip_tol
+            h0_all[rows] = new_h
             stage_cfg = dataclasses.replace(
                 opt_cfg, restarts=1, ftol_abs=stage_ftol
             )
             logger.info(
-                "bucket N=%d B=%d warmstart n=%d: %.1fs, median iters %.0f",
+                "bucket N=%d B=%d warmstart n=%d: %.1fs, %d cells, "
+                "median iters %.0f",
                 full_b.capacity, len(full_b), n_sub,
-                time.time() - t_stage, np.median(np.asarray(pre.iters)),
+                time.time() - t_stage, rows.size,
+                np.median(np.asarray(pre.iters)),
             )
             if stats is not None:
                 e = {
-                    "stage": "cascade", "n": n_sub, "cells": len(full_b),
+                    "stage": "cascade", "n": n_sub, "cells": int(rows.size),
                     "wall_s": time.time() - t_stage,
                     "iters_sum": int(np.sum(np.asarray(pre.iters))),
                 }
