@@ -226,6 +226,7 @@ def interpolate_days(
     config: DailyConfig = DailyConfig(),
     cell_sharding=None,
     init_hypers: Optional[Sequence[Optional[dict]]] = None,
+    precomputed_hypers: Optional[dict] = None,
     stats: Optional[list] = None,
 ) -> list[DailyResult]:
     """One WAVE: interpolate several days as a single stacked cell batch.
@@ -234,7 +235,11 @@ def interpolate_days(
     (cell trajectories are independent of batch composition — pinned by
     tests/test_multiday.py); only launch structure and device utilization
     change. ``init_hypers`` optionally provides per-day warm-start fields
-    (same format as interpolate_daily's).
+    (same format as interpolate_daily's). ``precomputed_hypers`` is the
+    QUICKLOOK path (``GPR3D(opt=False)``, ``GPR_CS2S3.py:170-172``): one
+    dict of (G, G) hyperparameter fields applied to EVERY day of the wave —
+    pass-1 optimization and smoothing are skipped and the wave collapses to
+    the combined fixed-hyper predict pass.
 
     Args:
       days: window START indices (the interpolated date of entry i is
@@ -250,6 +255,18 @@ def interpolate_days(
     opt_cfg = dataclasses.replace(cfg.opt, kind=cfg.kind, jitter=cfg.jitter)
 
     ctxs = [_day_ctx(ds, d, cfg, dtype) for d in days]
+
+    if precomputed_hypers is not None:
+        missing = [k for k in HYPER_NAMES if k not in precomputed_hypers]
+        if missing:
+            raise ValueError(f"precomputed_hypers missing fields: {missing}")
+        smth = [
+            {k: np.asarray(precomputed_hypers[k]) for k in HYPER_NAMES}
+        ] * len(ctxs)
+        return _pass2_assemble(
+            cfg, ctxs, smth, priors, dtype, cell_sharding, stats,
+            quicklook=True,
+        )
 
     init_fields = list(init_hypers) if init_hypers is not None else None
     seed_init = False
@@ -321,7 +338,22 @@ def interpolate_days(
             "iters_sum": 0,
         })
 
-    # ---- combined pass-2: re-predict with smoothed hypers ------------------
+    return _pass2_assemble(
+        cfg, ctxs, smth, priors, dtype, cell_sharding, stats,
+        quicklook=False,
+    )
+
+
+def _pass2_assemble(
+    cfg: DailyConfig, ctxs, smth, priors, dtype, cell_sharding, stats,
+    quicklook: bool,
+) -> list[DailyResult]:
+    """Combined fixed-hyper predict over all days' buckets + result assembly.
+
+    ``quicklook=True`` is the precomputed-hypers path: no pass-1 grids exist,
+    so the predicted fields double as the unsmoothed outputs and per-cell lZ
+    is scattered too (mirrors interpolate_daily's quicklook branch).
+    """
     from collections import defaultdict
 
     offsets = np.concatenate(
@@ -369,6 +401,8 @@ def interpolate_days(
             _scatter_global(
                 "interp_error_smth", ctxs, offsets, b.cell_index, pred.std
             )
+            if quicklook:
+                _scatter_global("lZ", ctxs, offsets, b.cell_index, pred.lZ)
         if stats is not None:
             stats.append({
                 "stage": "pass2", "n": capacity, "cells": len(full_b),
@@ -378,10 +412,18 @@ def interpolate_days(
     return [
         DailyResult(
             date=c.date,
-            interp=c.grids["interp"],
-            interp_error=c.grids["interp_error"],
+            interp=(
+                c.grids["interp_smth"].copy() if quicklook
+                else c.grids["interp"]
+            ),
+            interp_error=(
+                c.grids["interp_error_smth"].copy() if quicklook
+                else c.grids["interp_error"]
+            ),
             lZ=c.grids["lZ"],
-            hypers={n: c.grids[n] for n in HYPER_NAMES},
+            hypers=(
+                smth[d] if quicklook else {n: c.grids[n] for n in HYPER_NAMES}
+            ),
             hypers_smth=smth[d],
             interp_smth=c.grids["interp_smth"],
             interp_error_smth=c.grids["interp_error_smth"],

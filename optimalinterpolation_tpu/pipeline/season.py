@@ -104,9 +104,10 @@ def run_season(
 
         lon, lat = grid_lonlat(ds.x, ds.y)
 
-    if cfg.day_parallel > 1 and precomputed_hypers is None:
+    if cfg.day_parallel > 1:
         return _run_season_waves(
-            ds, cfg, list(days), prior_fn, fyi, cell_sharding, lon, lat, log
+            ds, cfg, list(days), prior_fn, fyi, cell_sharding, lon, lat, log,
+            precomputed_hypers=precomputed_hypers,
         )
 
     from optimalinterpolation_tpu.pipeline.daily import HYPER_NAMES
@@ -170,17 +171,20 @@ def _prior_for(day: int, prior_fn, fyi) -> float:
 
 def _run_season_waves(
     ds, cfg: SeasonConfig, days: list, prior_fn, fyi, cell_sharding,
-    lon, lat, log,
+    lon, lat, log, precomputed_hypers: Optional[dict] = None,
 ) -> list[DailyResult]:
     """Strided-wave season (SeasonConfig.day_parallel): see interpolate_days.
 
     Day at list position p warm-starts from position p - 1 (one wave
     earlier); resume-skipped days still feed their pickled hypers into the
-    chain, like the serial path.
+    chain, like the serial path. With ``precomputed_hypers`` (the quicklook
+    reuse path, GPR_CS2S3.py:170-172) there is nothing to chain — each wave
+    is a pass-2-only batch over its days' combined cells.
     """
     from optimalinterpolation_tpu.pipeline.daily import HYPER_NAMES
     from optimalinterpolation_tpu.pipeline.multiday import interpolate_days
 
+    chaining = cfg.chain_warmstart and precomputed_hypers is None
     n_waves = max(1, -(-len(days) // cfg.day_parallel))
     results_by_pos: dict[int, DailyResult] = {}
     chain_by_pos: dict[int, dict] = {}
@@ -195,7 +199,7 @@ def _run_season_waves(
             )
             if cfg.resume and cfg.write_pickles and os.path.exists(pkl_path):
                 log(f"[season] {date}: exists, skipping (resume)")
-                if cfg.chain_warmstart:
+                if chaining:
                     try:
                         from optimalinterpolation_tpu.io.pickles import load_pickle
 
@@ -207,9 +211,7 @@ def _run_season_waves(
                         pass
                 continue
             run_pos.append(p)
-            inits.append(
-                chain_by_pos.get(p - 1) if cfg.chain_warmstart else None
-            )
+            inits.append(chain_by_pos.get(p - 1) if chaining else None)
         if not run_pos:
             continue
         t0 = time.time()
@@ -220,6 +222,7 @@ def _run_season_waves(
             cfg.daily,
             cell_sharding=cell_sharding,
             init_hypers=inits if any(i is not None for i in inits) else None,
+            precomputed_hypers=precomputed_hypers,
         )
         wall = time.time() - t0
         n_cells = sum(int(np.isfinite(r.interp).sum()) for r in res_list)
@@ -229,7 +232,7 @@ def _run_season_waves(
             f"({n_cells / max(wall, 1e-9):.1f} cells/s)"
         )
         for p, res in zip(run_pos, res_list):
-            if cfg.chain_warmstart:
+            if chaining:
                 chain_by_pos[p] = res.hypers
             results_by_pos[p] = res
             if cfg.write_pickles:
