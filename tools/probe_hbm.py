@@ -89,9 +89,9 @@ def probe_predict(n: int, b: int) -> dict:
     xs = jnp.zeros((b, 3), jnp.float32)
     mask = jnp.ones((b, n), jnp.float32)
     mean = jnp.zeros((b,), jnp.float32)
-    lowered = jax.jit(
-        blocked_gp.gp_predict_blocked, static_argnames=("kind", "jitter")
-    ).lower(lh, x, z, xs, mask, mean)
+    # gp_predict_blocked is already jitted with its static argnames; lower
+    # the existing jitted function instead of re-wrapping (ADVICE r2).
+    lowered = blocked_gp.gp_predict_blocked.lower(lh, x, z, xs, mask, mean)
     mem = lowered.compile().memory_analysis()
     return _mem_report(n, b, mem, n * n * 4.0, "predict")
 
@@ -100,13 +100,21 @@ def main() -> None:
     argv = sys.argv[1:]
     if argv:
         # triples: "N B M" (M=0 -> blocked objective) or "predict N B"
+        usage = (
+            "usage: probe_hbm.py [N B M | predict N B] ...\n"
+            "  (M=0 probes the blocked objective, M>0 the Nystrom:M "
+            "objective; note the r2 format change from 'N B' pairs)"
+        )
         shapes = []
         it = iter(argv)
         for a in it:
-            if a == "predict":
-                shapes.append(("predict", int(next(it)), int(next(it)), 0))
-            else:
-                shapes.append(("opt", int(a), int(next(it)), int(next(it))))
+            try:
+                if a == "predict":
+                    shapes.append(("predict", int(next(it)), int(next(it)), 0))
+                else:
+                    shapes.append(("opt", int(a), int(next(it)), int(next(it))))
+            except (StopIteration, ValueError):
+                sys.exit(usage)
     else:
         shapes = (
             # blocked optimize: current tiles + the next TILE_MENU step up
