@@ -36,7 +36,8 @@ __all__ = ["NeighborhoodBatch", "gather_neighborhoods", "bucketize_counts"]
 # measured on hardware (the reference never pads at all,
 # GPR_CS2S3.py:159-161); masked identity-padding makes the two routings
 # agree to float noise (tests/test_neighbors.py), so this is purely a
-# launch-economics decision — measurements recorded in DESIGN.md.
+# launch-economics decision — tools/r3_ab.py's `bucket128` variant is the
+# measurement harness.
 import os as _os
 
 DEFAULT_BUCKETS = (

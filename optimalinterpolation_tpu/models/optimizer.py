@@ -83,7 +83,14 @@ class OptimizeConfig:
     # overrides the threshold end-to-end without code edits (like
     # OI_BLOCKED_MIN_N); hyper/prediction parity vs the exact objective is
     # pinned in tests/test_nystroem_backend.py.
-    nystroem_min_n: int = 2048
+    # Default 1024 (lowered from 2048 in r3): the v5e A/B on the real N=1024
+    # bucket (tools/r3_n1024.py, warm reps) measured the m=512 objective
+    # 3.1x faster than the exact blocked fine pass (18.3 s vs 57.2 s for
+    # 2024 cells from a shared n=512 warm start) at ~0.7 nats mean exact-NLL
+    # cost, and the end-to-end pipeline A/B (tools/r3_ab.py, scale 0.12)
+    # held rmse_vs_truth within 0.1 mm (0.01212 -> 0.01220). The exact
+    # N=1024 fine pass was 46% of the full-scale daily field (VERDICT r2).
+    nystroem_min_n: int = 1024
     nystroem_m: int = 512
     # Multi-restart (SURVEY.md section 7 hard part (b)): the MLL has a
     # degenerate noise-only local optimum some cells fall into from the

@@ -116,6 +116,16 @@ class DailyConfig:
     # of the full-N optimum, plenty for an init). Also removes the large-N
     # optimizer executables from the seed pass entirely. 0 disables.
     seed_opt_n: int = 1024
+    # Hard cap on the OPTIMIZATION problem size for every bucket (0 = off):
+    # hyperparameters are estimated from a uniform opt_n_max-point subsample
+    # of each neighborhood (prediction always uses the full neighborhood).
+    # Rationale (r3 A/B, tools/r3_n1024.py): at N=1024 the exact fine pass
+    # buys ~0.7 nats of NLL over the n=512 warm-start optimum at 46% of the
+    # daily field's wall, and the smoothing pass (GPR_CS2S3.py:299-307)
+    # washes per-cell estimator noise out of the product anyway. The seed
+    # pass has run on 1024-point subsamples since r2 (seed_opt_n) on the
+    # same argument. Guarded end-to-end by bench.py's rmse_vs_truth.
+    opt_n_max: int = 0
     # Spatial seeding: optimize only every stride-th grid cell from cold
     # start, nearest-fill their optimized hypers across the grid, then
     # optimize ALL cells initialized from their nearest seed (hyper fields
@@ -411,6 +421,11 @@ def _optimize_bucket(
         cap = cfg.seed_opt_n
         _permute_valid_points(full_b)
         permuted = True
+    if cfg.opt_n_max and cap > cfg.opt_n_max:
+        cap = cfg.opt_n_max
+        if not permuted:
+            _permute_valid_points(full_b)
+            permuted = True
     # Nystrom-objective routing (models.optimizer): the rank-M landmark
     # set is the first M neighbor slots, so rows must be shuffled for it
     # to be a uniform subsample (the cascade path shuffles anyway; chained

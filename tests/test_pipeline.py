@@ -387,23 +387,28 @@ def test_blocked_crossover_env_knob(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     budget = 8e9
     cfg = O.OptimizeConfig()
+    exact = O.OptimizeConfig(nystroem_min_n=0)
 
-    # default crossover: 1024 routes blocked, duration caps don't apply
+    # default routing (r3): N >= 1024 goes to the Nystrom objective
     monkeypatch.delenv("OI_BLOCKED_MIN_N", raising=False)
-    assert O._resolve_backend(cfg, 1024, jnp.float32) == "blocked"
+    monkeypatch.delenv("OI_NYSTROEM_MIN_N", raising=False)
+    assert O._resolve_backend(cfg, 1024, jnp.float32) == "nystroem:512"
+    assert O.routed_nystroem_m(cfg, 1024) == 512  # 1024 == 2 * nystroem_m
+    assert O.routed_nystroem_m(cfg, 512) == 0  # below 2 * nystroem_m
+
+    # exact crossover: 1024 routes blocked, duration caps don't apply
+    assert O._resolve_backend(exact, 1024, jnp.float32) == "blocked"
     expect = int(budget // (D._MEM_BUFFERS_BLOCKED * 1024 * 1024 * 4))
     assert D._chunk_rows(1024, 8, budget, 4) == (expect // 8) * 8
 
     # raised crossover: 1024 routes pallas, duration cap governs the chunk
     monkeypatch.setenv("OI_BLOCKED_MIN_N", "2049")
-    assert O._resolve_backend(cfg, 1024, jnp.float32) == "pallas"
+    assert O._resolve_backend(exact, 1024, jnp.float32) == "pallas"
     assert D._chunk_rows(1024, 8, budget, 4) == D._PALLAS_CHUNK_CAP[1024]
     # default: the largest buckets route to the Nystrom objective; with it
     # disabled, sizes beyond pallas support fall through to blocked
-    monkeypatch.delenv("OI_NYSTROEM_MIN_N", raising=False)
     assert O._resolve_backend(cfg, 4096, jnp.float32) == "nystroem:512"
     assert O.routed_nystroem_m(cfg, 4096) == 512
-    assert O.routed_nystroem_m(cfg, 1024) == 0  # below 2 * nystroem_m
     monkeypatch.setenv("OI_NYSTROEM_MIN_N", "0")
     assert O._resolve_backend(cfg, 4096, jnp.float32) == "blocked"
     exact_cfg = O.OptimizeConfig(nystroem_min_n=0)

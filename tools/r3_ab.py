@@ -121,6 +121,9 @@ def main() -> None:
             base_cfg, buckets=(128, 256, 512, 1024, 2048, 4096),
         ),
         "nogate": dataclasses.replace(base_cfg, cascade_skip_tol=0.0),
+        # hyper estimation capped at a 512-point uniform subsample per cell
+        # (prediction stays full-N); the cheapest n=1024 contender
+        "trunc512": dataclasses.replace(base_cfg, opt_n_max=512),
     }
     print(f"backend={jax.default_backend()}", flush=True)
     for v in variants:
