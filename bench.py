@@ -17,10 +17,11 @@ re-prediction):
   - a single-day production pass at CAL_SCALE re-times at production config
     (this pass also pays the one-time per-process program-load bill and
     calibrates the cost model for everything after it);
-  - if the budget allows, a bigger single-day pass upgrades the daily line;
   - a WAVE pass (pipeline.multiday: several days stacked into one combined
-    cell batch — the season-scale execution model) prints the season metric,
-    which is re-printed LAST so the driver records it as the headline.
+    cell batch — the season-scale execution model) runs NEXT, reusing the
+    calibration pass's warmed executables; its season metric is re-printed
+    LAST (compacted — see _compact) so the driver records it as the headline;
+  - if budget remains, a bigger single-day pass upgrades the daily line.
 
 EXIT CONTRACT (the hard-won part): the driver only parses output from a
 process that EXITS 0 BEFORE its own timeout — rounds 1 and 2 both recorded
@@ -84,7 +85,13 @@ def _deadline() -> float:
     parses a timed-out child; its observed window is ~33-39 min, so the
     default leaves >8 min of margin for tunnel weather."""
     t0 = float(os.environ.get("OI_BENCH_T0", _PROC_T0))
-    return t0 + float(os.environ.get("OI_BENCH_DEADLINE_S", 1500))
+    return t0 + float(os.environ.get("OI_BENCH_DEADLINE_S", 1700))
+
+
+# Budget decisions (passes skipped because their cost estimate exceeded the
+# remaining budget) — recorded into the FINAL line's detail so the artifact
+# itself explains why e.g. no scale-1.0 line exists (VERDICT r3 missing #3).
+_SKIPPED: list = []
 
 
 def _dataset():
@@ -241,13 +248,31 @@ def _supervise_loop(marker, env, deadline, init_timeout, attempt) -> int:
 # 2nm^2 + autodiff reverse ~ one more 2nm^2) + 2 m^3 for the two M-factors.
 _EVALS_PER_ITER = 2.2
 
-# Conservative efficiency floor (TFLOP/s) for anomaly detection: every
-# healthy measured stage at production sizes clears this (r2 economics:
-# 0.2-5.6), while tunnel launch storms land 1-2 orders of magnitude below
-# it (e.g. 81 s for a 0.09-TFLOP n=256 stage). A stage is flagged anomalous
-# when wall > max(8 s, 5x its FLOP-model wall at this floor).
-_ANOMALY_EFF_FLOOR = 0.2
+# Per-family efficiency floors (TFLOP/s) for anomaly detection. A stage is
+# flagged anomalous when wall > max(8 s, mult x its FLOP-model wall at its
+# family's floor) — i.e. when its effective TFLOP/s lands below floor/mult.
+# Floors are set from measured healthy stages: exact-GP optimize stages run
+# 0.2-5.6 (r2 economics) so the 0.2/5 pair only catches launch storms 1-2
+# orders of magnitude below; Nystrom-objective stages (entries with "m")
+# measured 1.8-2.4 healthy, so BENCH_r03's 0.17-0.18-eff n1024/n2048
+# Nystrom stages — 10x+ below healthy, unflagged under the old single 0.2
+# floor (VERDICT r3 weak #2) — now flag at eff < 0.8/2.5 = 0.32. Predict
+# stages measured 2.4-7 healthy at sizes big enough to exceed the 8 s
+# minimum wall.
+_ANOMALY_FAMILY = {
+    # family: (eff floor TFLOP/s, wall multiplier)
+    "exact_opt": (0.2, 5.0),
+    "nystroem_opt": (0.8, 2.5),
+    "predict": (1.0, 5.0),
+}
 _ANOMALY_MIN_WALL_S = 8.0
+
+
+def _stage_family(e: dict) -> str:
+    stage = e["stage"].split(":")[-1]
+    if stage in ("opt", "cascade"):
+        return "nystroem_opt" if e.get("m") else "exact_opt"
+    return "predict"
 
 
 def _entry_flops(e: dict) -> float:
@@ -267,11 +292,13 @@ def _entry_flops(e: dict) -> float:
 
 def _economics(stats: list, wall: float) -> dict:
     by_key: dict = {}
+    families: dict = {}
     for e in stats:
         k = f"{e['stage']}:n{e['n']}" + (f":m{e['m']}" if e.get("m") else "")
         d = by_key.setdefault(
             k, {"wall_s": 0.0, "cells": 0, "iters": 0, "tflops": 0.0}
         )
+        families[k] = _stage_family(e)
         d["wall_s"] += e["wall_s"]
         d["cells"] += e["cells"]
         d["iters"] += e["iters_sum"]
@@ -279,8 +306,9 @@ def _economics(stats: list, wall: float) -> dict:
     total_tf = sum(d["tflops"] for d in by_key.values())
     anomalies = []
     for k, d in by_key.items():
-        model_wall = d["tflops"] / _ANOMALY_EFF_FLOOR
-        if d["wall_s"] > max(_ANOMALY_MIN_WALL_S, 5.0 * model_wall):
+        floor, mult = _ANOMALY_FAMILY[families[k]]
+        model_wall = d["tflops"] / floor
+        if d["wall_s"] > max(_ANOMALY_MIN_WALL_S, mult * model_wall):
             d["anomaly"] = True
             anomalies.append(k)
         d["wall_s"] = round(d["wall_s"], 2)
@@ -498,37 +526,70 @@ def main():
         def wave_est(s: float) -> float:
             return cal_wall * (0.8 + 0.2 * (WAVE_DAYS * s) / CAL_SCALE) * 1.3
 
-        wave_budget = (
-            min((wave_est(s) for s in WAVE_SCALES), default=0.0)
-            if wave_on else 0.0
-        )
-        # Optional bigger single-day pass — only if it leaves the wave's
-        # minimum budget intact (the wave is the headline; VERDICT r2 #3).
-        for s in BIG_SCALES:
-            est = cal_wall * BIG_RATIO[s] * 1.15
-            if left() > est + wave_budget + 30:
-                run_single_day(s, cfg, "production", 2)
-                break
+        # The wave runs FIRST (immediately after calibration, reusing its
+        # warmed executables): it is the headline metric (the north-star is
+        # a season target) and in r3 a big single-day pass running first
+        # priced it out of the budget entirely (VERDICT r3 missing #2).
         if wave_on:
             for s in WAVE_SCALES:
                 if left() > wave_est(s) + 30:
                     run_wave(s, WAVE_DAYS, seed=3)
                     break
+                _SKIPPED.append(
+                    f"wave@{s}: est {wave_est(s):.0f}s > {left():.0f}s left"
+                )
+        # Optional bigger single-day pass with whatever budget remains.
+        for s in BIG_SCALES:
+            est = cal_wall * BIG_RATIO[s] * 1.15
+            if left() > est + 30:
+                run_single_day(s, cfg, "production", 2)
+                break
+            _SKIPPED.append(
+                f"day@{s}: est {est:.0f}s > {left():.0f}s left"
+            )
     return _finalize(outs)
+
+
+_COMPACT_DETAIL_KEYS = (
+    "scale", "config", "wave_days", "active_cells", "finite_outputs",
+    "rmse_vs_truth_m", "wall_s", "per_day_wall_s", "anomaly",
+)
+
+
+def _compact(out: dict) -> dict:
+    """Headline line with `detail` cut to a few scalars. BENCH_r01-r03 all
+    recorded parsed=null because the driver keeps only a ~2000-char tail of
+    stdout and the full-economics detail is ~3x that — its capture began
+    mid-JSON. The full line (with per-stage economics) is already printed
+    earlier in stdout by emit(); this re-printed FINAL line must stay well
+    under the tail window."""
+    d = out["detail"]
+    compact = {k: d[k] for k in _COMPACT_DETAIL_KEYS if k in d}
+    eco = d.get("economics", {})
+    compact["eff_tflops_per_s"] = eco.get("eff_tflops_per_s")
+    compact["anomalous_stages"] = eco.get("anomalous_stages", [])
+    if _SKIPPED:
+        compact["skipped_passes"] = _SKIPPED[:4]
+    return {**out, "detail": compact}
 
 
 def _finalize(outs: list) -> int:
     """Re-print the headline line LAST (the driver takes the last JSON line):
     the season wave metric when a clean wave pass exists (the north-star is
     a season target), else the best non-anomalous production line, else the
-    best line at all. Re-printing an already-printed line is harmless."""
+    best line at all. The re-print is COMPACTED (see _compact) so the
+    driver's bounded stdout tail captures one whole JSON object."""
     if not outs:
         return 1
     clean = [o for o in outs if not o["detail"].get("anomaly")]
     pool = clean or outs
     waves = [o for o in pool if o["metric"].startswith("season_wave")]
     final = waves[-1] if waves else max(pool, key=lambda o: o["value"])
-    print(json.dumps(final), flush=True)
+    line = json.dumps(_compact(final))
+    if len(line) >= 1500:  # never hand the driver a mid-JSON tail again
+        line = json.dumps({k: final[k] for k in
+                           ("metric", "value", "unit", "vs_baseline")})
+    print(line, flush=True)
     return 0
 
 

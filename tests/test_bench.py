@@ -224,6 +224,66 @@ def test_finalize_prefers_clean_wave_then_best_production(capsys):
     assert bench._finalize([]) == 1
 
 
+def test_economics_flags_slow_nystroem_stage():
+    bench = _load_bench()
+    # BENCH_r03's opt:n2048:m512 ran at 0.18 eff-TFLOP/s — 10x+ below the
+    # healthy 1.8-2.4 measured for Nystrom-objective stages — yet went
+    # unflagged under the old single 0.2 floor (VERDICT r3 weak #2). The
+    # per-family floor must flag it. Exact numbers from BENCH_r03: 93.14 s,
+    # 1080 cells, 1478 iters, 16.5 model-TFLOPs.
+    stats = [
+        {"stage": "opt", "n": 2048, "m": 512, "cells": 1080, "wall_s": 93.14,
+         "iters_sum": 1478},
+        # a healthy Nystrom stage (n4096, 2.43 eff in the same artifact)
+        {"stage": "opt", "n": 4096, "m": 512, "cells": 392, "wall_s": 12.39,
+         "iters_sum": 1402},
+    ]
+    eco = bench._economics(stats, wall=110.0)
+    assert eco["anomalous_stages"] == ["opt:n2048:m512"]
+    assert "anomaly" not in eco["stages"]["opt:n4096:m512"]
+
+
+def test_final_line_is_compact_and_parseable(capsys):
+    import json
+
+    bench = _load_bench()
+    # The driver keeps only a ~2000-char stdout tail; BENCH_r01-r03 all
+    # recorded parsed=null because the re-printed final line carried the
+    # full per-stage economics (~3000+ bytes) and the tail began mid-JSON.
+    # Build a detail as fat as a real production pass's and check the
+    # re-printed final line is compact, whole, and parseable.
+    fat_eco = {
+        "stages": {
+            f"opt:n{n}": {"wall_s": 12.3, "cells": 999, "iters": 12345,
+                          "tflops": 7.89, "eff_tflops_per_s": 0.64}
+            for n in (128, 256, 512, 1024, 2048, 4096)
+        },
+        "total_model_tflops": 158.39,
+        "eff_tflops_per_s": 0.63,
+        "anomalous_stages": [],
+        "flop_model": "matmul=2mkn, chol=n^3/3; opt iter ~4.6 chol-equiv",
+    }
+    out = {
+        "metric": "season_wave_optimized_cells_per_sec",
+        "value": 31.4, "unit": "cells/s", "vs_baseline": 3221.9,
+        "detail": {
+            "scale": 0.12, "config": "wave-production", "wave_days": 4,
+            "active_cells": 18000, "finite_outputs": 18000,
+            "rmse_vs_truth_m": 0.0122, "wall_s": 573.2,
+            "per_day_wall_s": 143.3, "grid": "320x320@25km",
+            "window_days": 9, "anomaly": False, "economics": fat_eco,
+        },
+    }
+    assert bench._finalize([out]) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) < 1500
+    parsed = json.loads(line)
+    assert parsed["value"] == 31.4
+    assert parsed["detail"]["rmse_vs_truth_m"] == 0.0122
+    assert parsed["detail"]["eff_tflops_per_s"] == 0.63
+    assert "economics" not in parsed["detail"]
+
+
 def test_economics_groups_stages_and_reports_tflops():
     bench = _load_bench()
     stats = [
