@@ -61,6 +61,12 @@ def _add_daily_args(p):
     p.add_argument("--prior-mean", type=float, default=None,
                    help="constant prior mean; otherwise --fyi is used")
     p.add_argument("--fyi", default=None, help="CS2 FYI .npy for the prior")
+    p.add_argument("--prior-background", type=int, default=None,
+                   metavar="N_DAYS",
+                   help="spatially varying prior: the first-N_DAYS "
+                        "all-satellite mean field with pole-hole fill "
+                        "(dev/sparseGP_example.ipynb cell-1 background/"
+                        "priorXS; reference uses 31 days)")
     p.add_argument("--fyi-offset", type=int, default=16,
                    help="FYI product start relative to the season start "
                         "(reference product: 16; synthetic/aligned: 0)")
@@ -113,6 +119,13 @@ def _sharding(args):
 def _prior(args, ds):
     if args.prior_mean is not None:
         return lambda day: args.prior_mean
+    if getattr(args, "prior_background", None):
+        from optimalinterpolation_tpu.data.prior import background_prior
+        from optimalinterpolation_tpu.io.quicklook import grid_lonlat
+
+        _, lat = grid_lonlat(ds.x, ds.y)
+        field = background_prior(ds.obs, lat, n_days=args.prior_background)
+        return lambda day: field
     if args.fyi is not None:
         from optimalinterpolation_tpu.data.prior import constant_fyi_prior
 
@@ -193,7 +206,13 @@ def cmd_cell(args):
     from optimalinterpolation_tpu.ops.kernels import Kernel
 
     ds = _load(args)
-    prior = float(_prior(args, ds)(args.day))
+    prior = _prior(args, ds)(args.day)
+    if np.ndim(prior) == 2:
+        # spatially varying prior: sample it at the nearest grid cell
+        k = np.argmin((ds.x - args.x) ** 2 + (ds.y - args.y) ** 2)
+        v = np.asarray(prior).ravel()[k]
+        prior = float(v) if np.isfinite(v) else float(np.nanmean(prior))
+    prior = float(prior)
     t_mid = args.window_days // 2
     date = ds.dates[args.day + t_mid]
     sat = ds.obs[:, :, :, args.day : args.day + args.window_days]

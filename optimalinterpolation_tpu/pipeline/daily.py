@@ -218,6 +218,35 @@ def _put(arr, sharding):
     return jax.device_put(arr, sharding) if sharding is not None else arr
 
 
+def _prior_at_cells(prior_mean, shape, active_ij):
+    """Per-active-cell prior means from a scalar or a (G, G) field.
+
+    Returns ``(values, fill)``: one prior mean per active cell, plus the
+    scalar used for NaN field cells and padded batch rows (a field's NaN
+    cells — never-observed ocean — fall back to its finite mean)."""
+    if np.ndim(prior_mean) == 0:
+        fill = float(prior_mean)
+        return np.full(len(active_ij[0]), fill), fill
+    field = np.asarray(prior_mean, np.float64)
+    if field.shape != shape:
+        raise ValueError(
+            f"prior field shape {field.shape} != grid shape {shape}"
+        )
+    if not np.isfinite(field).any():
+        raise ValueError("prior field is all-NaN")
+    fill = float(np.nanmean(field))
+    vals = field[active_ij]
+    return np.where(np.isfinite(vals), vals, fill), fill
+
+
+def _prior_rows(prior_cells, fill, cell_index, dtype):
+    """Per-bucket-row prior means (padded rows get the fill scalar)."""
+    rows = np.full((len(cell_index),), fill, dtype)
+    real = cell_index >= 0
+    rows[real] = prior_cells[cell_index[real]].astype(dtype)
+    return rows
+
+
 # Live (N, N) buffers per cell in HBM, by backend: the fused Pallas kernel
 # keeps everything VMEM-resident (inputs only in HBM); the blocked einsum
 # path keeps ~3 live (see _MEM_BUFFERS_BLOCKED below); the XLA autodiff
@@ -581,7 +610,7 @@ def _optimize_bucket(
 def interpolate_daily(
     ds: ObsDataset,
     day: int,
-    prior_mean: float,
+    prior_mean,
     config: DailyConfig = DailyConfig(),
     cell_sharding=None,
     precomputed_hypers: Optional[dict] = None,
@@ -596,7 +625,11 @@ def interpolate_daily(
       ds: season dataset (reader.read_freeboard_season or synthetic).
       day: start index of the T-day window; the interpolated date is
         ``ds.dates[day + T//2]`` (reference ``:211,216``).
-      prior_mean: scalar prior mean (data.prior.constant_fyi_prior).
+      prior_mean: scalar prior mean (data.prior.constant_fyi_prior), or a
+        (G, G) spatially varying prior field (data.prior.background_prior —
+        the dev notebook's ``background``/``priorXS``, ``dev/
+        sparseGP_example.ipynb`` cell-1). NaN cells of a field (never-
+        observed ocean) fall back to the field's finite mean.
       cell_sharding: optional ``jax.sharding.NamedSharding`` whose leading
         axis shards the cells dimension of every bucket across the mesh.
       precomputed_hypers: the QUICKLOOK path (``GPR3D(opt=False)``,
@@ -676,6 +709,8 @@ def interpolate_daily(
     train = flatten_window(sat, ds.x, ds.y)
     active_ij = np.nonzero(np.isfinite(sie_day))
     cells_xy = np.stack([ds.x[active_ij], ds.y[active_ij]], axis=1)
+    prior_cells, prior_fill = _prior_at_cells(prior_mean, shape=sie_day.shape,
+                                              active_ij=active_ij)
 
     batches = gather_neighborhoods(
         train,
@@ -719,7 +754,8 @@ def interpolate_daily(
                 _put(jnp.asarray(b.z), cell_sharding),
                 _put(jnp.asarray(b.xstar), cell_sharding),
                 _put(jnp.asarray(b.mask), cell_sharding),
-                jnp.full((len(b),), prior_mean, dtype=dtype),
+                jnp.asarray(_prior_rows(prior_cells, prior_fill,
+                                        b.cell_index, dtype)),
                 kind=cfg.kind,
                 jitter=cfg.jitter,
             )
@@ -752,7 +788,8 @@ def interpolate_daily(
     opt_cfg = dataclasses.replace(cfg.opt, kind=cfg.kind, jitter=cfg.jitter)
     for full_b in batches:
       t_bucket = time.time()
-      prior_rows = np.full((len(full_b),), prior_mean, dtype)
+      prior_rows = _prior_rows(prior_cells, prior_fill, full_b.cell_index,
+                               dtype)
       lh_all, chunk = _optimize_bucket(
           full_b, x0, init_at_cells, prior_rows, cfg, opt_cfg, dtype,
           cell_sharding, stats, seed_init=_seed_init,
@@ -781,7 +818,9 @@ def interpolate_daily(
         bz = _put(jnp.asarray(b.z), cell_sharding)
         bm = _put(jnp.asarray(b.mask), cell_sharding)
         bxs = _put(jnp.asarray(b.xstar), cell_sharding)
-        mean_vec = jnp.full((len(b),), prior_mean, dtype=dtype)
+        mean_vec = jnp.asarray(
+            _prior_rows(prior_cells, prior_fill, b.cell_index, dtype)
+        )
 
         if lh_all is not None:
             lh = np.zeros((len(b), lh_all.shape[1]), dtype=dtype)
@@ -790,7 +829,9 @@ def interpolate_daily(
             lh_dev = _put(jnp.asarray(lh), cell_sharding)
         else:
             h0 = _put(jnp.tile(x0[None], (len(b), 1)), cell_sharding)
-            opt_res = optimize_mll_batch(h0, bx, bz - prior_mean, bm, opt_cfg)
+            opt_res = optimize_mll_batch(
+                h0, bx, bz - mean_vec[:, None], bm, opt_cfg
+            )
             lh_dev = opt_res.log_hypers
         row0 += len(b)
         pred = predict_batch(
@@ -864,7 +905,8 @@ def interpolate_daily(
             _put(jnp.asarray(b.z), cell_sharding),
             _put(jnp.asarray(b.xstar), cell_sharding),
             _put(jnp.asarray(b.mask), cell_sharding),
-            jnp.full((len(b),), prior_mean, dtype=dtype),
+            jnp.asarray(_prior_rows(prior_cells, prior_fill,
+                                    b.cell_index, dtype)),
             kind=cfg.kind,
             jitter=cfg.jitter,
         )

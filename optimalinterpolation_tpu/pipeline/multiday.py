@@ -41,6 +41,8 @@ from optimalinterpolation_tpu.pipeline.daily import (
     _chunks_of,
     _optimize_bucket,
     _predict_tile,
+    _prior_at_cells,
+    _prior_rows,
     _put,
     logger,
 )
@@ -78,6 +80,18 @@ def _day_ctx(ds: ObsDataset, day: int, cfg: DailyConfig, dtype,
                      "interp_smth", "interp_error_smth")
     }
     return _DayCtx(ds.dates[day + t_mid], sie_day, active_ij, batches, grids)
+
+
+def _prior_global(ctxs, priors) -> tuple[np.ndarray, float]:
+    """Wave-global per-active-cell prior vector (aligned with the offsets
+    used by :func:`_concat_buckets`) from per-day scalars and/or (G, G)
+    fields, plus the fill scalar used for padded bucket rows."""
+    vals, fills = [], []
+    for c, p in zip(ctxs, priors):
+        v, f = _prior_at_cells(p, c.sie_day.shape, c.active_ij)
+        vals.append(v)
+        fills.append(f)
+    return np.concatenate(vals), float(np.mean(fills))
 
 
 def _concat_buckets(
@@ -133,7 +147,7 @@ def _scatter_global(field: str, ctxs, offsets, cell_idx, values) -> None:
 
 
 def _pass1(
-    ctxs: list, priors: np.ndarray, grid_res_m: float, cfg: DailyConfig,
+    ctxs: list, priors: Sequence, grid_res_m: float, cfg: DailyConfig,
     opt_cfg, dtype, cell_sharding, stats, init_fields: Optional[list],
     seed_init: bool, hypers_only: bool,
 ) -> None:
@@ -143,6 +157,7 @@ def _pass1(
     offsets = np.concatenate(
         [[0], np.cumsum([c.active_ij[0].size for c in ctxs])]
     ).astype(np.int64)
+    prior_cells, prior_fill = _prior_global(ctxs, priors)
     x0 = exact_gp.HYPER_INIT_LOG(grid_res_m, dtype=dtype)
     init_global = None
     if init_fields is not None and any(f is not None for f in init_fields):
@@ -165,10 +180,11 @@ def _pass1(
             per_cap[b.capacity].append((dpos, b))
     for capacity in sorted(per_cap):
         t_bucket = time.time()
-        full_b, day_of_row = _concat_buckets(
+        full_b, _ = _concat_buckets(
             per_cap[capacity], offsets, cfg.batch_multiple
         )
-        prior_rows = priors[day_of_row].astype(dtype)
+        prior_rows = _prior_rows(prior_cells, prior_fill, full_b.cell_index,
+                                 dtype)
         lh_all, chunk = _optimize_bucket(
             full_b, x0, init_global, prior_rows, cfg, opt_cfg, dtype,
             cell_sharding, stats, seed_init=seed_init,
@@ -189,9 +205,7 @@ def _pass1(
             lh = np.zeros((len(b), lh_all.shape[1]), dtype=dtype)
             take = lh_all[row0 : row0 + len(b)]
             lh[: len(take)] = take
-            mv = np.zeros((len(b),), dtype)
-            mtake = prior_rows[row0 : row0 + len(b)]
-            mv[: len(mtake)] = mtake
+            mv = _prior_rows(prior_cells, prior_fill, b.cell_index, dtype)
             row0 += len(b)
             pred = predict_batch(
                 _put(jnp.asarray(lh), cell_sharding),
@@ -222,7 +236,7 @@ def _pass1(
 def interpolate_days(
     ds: ObsDataset,
     days: Sequence[int],
-    priors: Sequence[float],
+    priors: Sequence,
     config: DailyConfig = DailyConfig(),
     cell_sharding=None,
     init_hypers: Optional[Sequence[Optional[dict]]] = None,
@@ -244,12 +258,15 @@ def interpolate_days(
     Args:
       days: window START indices (the interpolated date of entry i is
         ``ds.dates[days[i] + T//2]``).
-      priors: per-day scalar prior means, aligned with ``days``.
+      priors: per-day prior means, aligned with ``days`` — scalars and/or
+        (G, G) spatially varying fields (see interpolate_daily's
+        ``prior_mean``; fields follow the dev notebook's background prior,
+        ``dev/sparseGP_example.ipynb`` cell-1).
     """
     cfg = config
     dtype = np.dtype(cfg.dtype)
     grid_res_m = ds.grid_res_km * 1000.0
-    priors = np.asarray(list(priors), np.float64)
+    priors = list(priors)
     if len(priors) != len(days):
         raise ValueError("priors must align with days")
     opt_cfg = dataclasses.replace(cfg.opt, kind=cfg.kind, jitter=cfg.jitter)
@@ -359,6 +376,7 @@ def _pass2_assemble(
     offsets = np.concatenate(
         [[0], np.cumsum([c.active_ij[0].size for c in ctxs])]
     ).astype(np.int64)
+    prior_cells, prior_fill = _prior_global(ctxs, priors)
     smth_at_cells = np.concatenate([
         np.stack([smth[d][n][ctxs[d].active_ij] for n in HYPER_NAMES], axis=1)
         for d in range(len(ctxs))
@@ -369,23 +387,18 @@ def _pass2_assemble(
             per_cap[b.capacity].append((dpos, b))
     for capacity in sorted(per_cap):
         t_b2 = time.time()
-        full_b, day_of_row = _concat_buckets(
+        full_b, _ = _concat_buckets(
             per_cap[capacity], offsets, cfg.batch_multiple
         )
-        prior_rows = priors[day_of_row].astype(dtype)
         ft = _predict_tile(capacity, cfg.batch_multiple, cfg.max_chunk_bytes,
                            dtype.itemsize)
-        row0 = 0
         for b in _chunks_of(full_b, 0, fixed_tile=ft):
             real = b.cell_index >= 0
             lh = np.zeros((len(b), 5), dtype=dtype)
             lh[real] = np.log(
                 np.maximum(smth_at_cells[b.cell_index[real]], 1e-30)
             )
-            mv = np.zeros((len(b),), dtype)
-            mtake = prior_rows[row0 : row0 + len(b)]
-            mv[: len(mtake)] = mtake
-            row0 += len(b)
+            mv = _prior_rows(prior_cells, prior_fill, b.cell_index, dtype)
             pred = predict_batch(
                 _put(jnp.asarray(lh), cell_sharding),
                 _put(jnp.asarray(b.x), cell_sharding),

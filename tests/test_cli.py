@@ -66,6 +66,19 @@ def test_hypers_cli_quicklook_workflow(tiny_season, tmp_path, capsys):
     assert info3["shape"] == [16, 16] and info3["finite_cells"] > 0
 
 
+def test_daily_cli_prior_background(tiny_season, tmp_path, capsys):
+    """--prior-background N: the spatially varying first-N-days mean prior
+    (dev/sparseGP_example.ipynb cell-1) reaches the production daily path."""
+    out = str(tmp_path)
+    main([
+        "daily", "--datapath", tiny_season, "--grid-res", "250",
+        "--prior-background", "9", "--max-iters", "5", "--seed-stride", "0",
+        "--dtype", "float64", "--outdir", out,
+    ])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["cells"] > 0
+
+
 def test_validate_cli_skill_metrics(tiny_season, tmp_path, capsys):
     """validate subcommand: perfect point obs sampled from the field itself
     must score bias 0 / rmse 0 / corr 1 / coverage 1."""

@@ -83,6 +83,24 @@ def test_wave_matches_serial_days(wave_season):
     assert {"opt", "predict", "smooth", "pass2"} <= stages
 
 
+def test_wave_prior_fields_match_scalars(wave_season):
+    """Wave per-day priors may mix scalars and (G, G) spatially varying
+    fields (dev/sparseGP_example.ipynb cell-1 background prior); constant
+    fields must reproduce the all-scalar wave exactly."""
+    ds, truth, dates = wave_season
+    days = [0, 2]
+    base = interpolate_days(ds, days, [0.15, 0.18], config=_CFG)
+    fields = [np.full(ds.sie.shape[:2], 0.15), 0.18]
+    got = interpolate_days(ds, days, fields, config=_CFG)
+    for b, g in zip(base, got):
+        np.testing.assert_allclose(
+            g.interp_smth, b.interp_smth, rtol=0, atol=0, equal_nan=True
+        )
+        np.testing.assert_allclose(
+            g.interp, b.interp, rtol=0, atol=0, equal_nan=True
+        )
+
+
 def test_wave_day_cell_mesh_sharding_matches_unsharded(wave_season):
     """The combined cells axis sharded over BOTH axes of a (days, cells)
     mesh (the season-scale production layout) must not change results."""

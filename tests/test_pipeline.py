@@ -108,6 +108,42 @@ def test_pipeline_sharded_matches_unsharded(small_season):
     )
 
 
+def test_spatially_varying_prior_field(small_season):
+    """C9's dev-notebook background prior (dev/sparseGP_example.ipynb cell-1
+    ``background``/``priorXS``): interpolate_daily accepts a (G, G) prior
+    field. A constant field (with NaN holes falling back to the field mean)
+    must reproduce the scalar-prior run exactly; a varying field must reach
+    the predictions; malformed fields fail loudly."""
+    ds, truth, dates = small_season
+    cfg = DailyConfig(
+        window_days=9, radius_km=450.0, opt=OptimizeConfig(max_iters=8),
+        buckets=(128, 512), dtype="float64", spatial_seed_stride=0,
+    )
+    base = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
+    shape = ds.sie.shape[:2]
+    const = np.full(shape, 0.15)
+    const[0, 0] = np.nan  # never-observed ocean -> falls back to field mean
+    res_const = interpolate_daily(ds, day=0, prior_mean=const, config=cfg)
+    np.testing.assert_allclose(
+        res_const.interp_smth, base.interp_smth, rtol=0, atol=0,
+        equal_nan=True,
+    )
+    ramp = np.full(shape, 0.15)
+    ramp[:, shape[1] // 2 :] = 0.45
+    res_ramp = interpolate_daily(ds, day=0, prior_mean=ramp, config=cfg)
+    assert (
+        np.isfinite(res_ramp.interp_smth) == np.isfinite(base.interp_smth)
+    ).all()
+    assert np.nanmax(np.abs(res_ramp.interp_smth - base.interp_smth)) > 1e-4
+
+    with pytest.raises(ValueError, match="shape"):
+        interpolate_daily(ds, day=0, prior_mean=np.zeros((3, 3)), config=cfg)
+    with pytest.raises(ValueError, match="all-NaN"):
+        interpolate_daily(
+            ds, day=0, prior_mean=np.full(shape, np.nan), config=cfg
+        )
+
+
 def test_quicklook_precomputed_hypers_path(small_season):
     """The opt=False production path (GPR_CS2S3.py:170-172; quicklook README):
     precomputed hyper fields -> single predict pass, no optimization; must
