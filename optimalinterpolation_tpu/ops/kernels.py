@@ -183,4 +183,4 @@ def cross_kernel(
 
 def kernel_diag(m: int, sf2: jax.Array, dtype=jnp.float32) -> jax.Array:
     """diag K(x*, x*) = sf2 for every stationary kernel here."""
-    return jnp.full((m,), 1.0, dtype=dtype) * sf2
+    return jnp.full((m,), jnp.asarray(sf2, dtype=dtype), dtype=dtype)

@@ -69,6 +69,43 @@ def test_svgp_approaches_exact_gp():
     assert float(sp.std[0]) > 0
 
 
+def test_svgp_kl_zero_at_init_and_elbo_bounds():
+    """Two cheap variational-correctness properties that need no GPflow:
+
+    1. KL(q||p) == 0 at init: whitened params start at q(v) = N(0, I) == the
+       prior, so the ELBO at step 0 equals the expected log-likelihood alone.
+    2. The ELBO lower-bounds the exact log marginal likelihood (Titsias
+       bound) for ANY variational state — checked at the fitted state with
+       full-batch evaluation at the SVGP's own hypers.
+    """
+    from optimalinterpolation_tpu.models.svgp import _kl, elbo
+
+    rng = np.random.default_rng(77)
+    x, y = _cell(rng, n=120)
+    n = len(y)
+    p0 = svgp_init(jnp.asarray(x), jnp.ones(n), 24, jnp.asarray(LOG_H), 0.15)
+    assert abs(float(_kl(p0))) < 1e-10
+
+    cfg = SVGPConfig(num_inducing=24, iterations=300, batch_size=n)
+    fit = svgp_fit(
+        p0, jnp.asarray(x), jnp.asarray(y), jnp.ones(n),
+        jax.random.key(2), cfg,
+    )
+    for params in (p0, fit.params):
+        full_elbo = float(elbo(
+            params, jnp.asarray(x), jnp.asarray(y), jnp.ones(n),
+            jnp.asarray(float(n)), cfg.kind, cfg.jitter,
+        ))
+        # exact lml at the SAME hypers/mean (lZ from the oracle exact GP)
+        pe = exact_gp.predict(
+            params.log_hypers, jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray([[0.0, 0.0, 4.0]]), jnp.ones(n), params.mean,
+        )
+        lml = float(pe.lZ)
+        assert np.isfinite(full_elbo)
+        assert full_elbo <= lml + 1e-6, (full_elbo, lml)
+
+
 def test_svgp_mask_excludes_padding(rng):
     x, y = _cell(rng, n=80)
     xp = np.concatenate([x, np.zeros((48, 3))])
