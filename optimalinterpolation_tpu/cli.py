@@ -55,6 +55,11 @@ def _add_daily_args(p):
     p.add_argument("--seed-stride", type=int, default=3,
                    help="spatial seeding: cold-optimize every Nth grid cell, "
                         "warm-start the rest from the nearest seed; 0 disables")
+    p.add_argument("--opt-n-max", type=int, default=None,
+                   help="cap hyperparameter estimation at a uniform N-point "
+                        "subsample per cell (prediction stays full-N); "
+                        "default 1024 (r4 A/B: rmse unchanged, kills the "
+                        "largest buckets' fine passes); 0 = full-N")
     p.add_argument("--optimizer", default="lbfgs", choices=["lbfgs", "adam"])
     p.add_argument("--dtype", default="float32")
     p.add_argument("--jitter", type=float, default=1e-6)
@@ -95,7 +100,7 @@ def _configs(args):
     from optimalinterpolation_tpu.ops.kernels import Kernel
     from optimalinterpolation_tpu.pipeline.daily import DailyConfig
 
-    return DailyConfig(
+    cfg = DailyConfig(
         window_days=args.window_days,
         radius_km=args.radius_km,
         kind=Kernel(args.kernel),
@@ -106,6 +111,11 @@ def _configs(args):
         warmstart_n=args.warmstart_n,
         spatial_seed_stride=args.seed_stride,
     )
+    if getattr(args, "opt_n_max", None) is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, opt_n_max=args.opt_n_max)
+    return cfg
 
 
 def _sharding(args):

@@ -119,13 +119,20 @@ class DailyConfig:
     # Hard cap on the OPTIMIZATION problem size for every bucket (0 = off):
     # hyperparameters are estimated from a uniform opt_n_max-point subsample
     # of each neighborhood (prediction always uses the full neighborhood).
-    # Rationale (r3 A/B, tools/r3_n1024.py): at N=1024 the exact fine pass
-    # buys ~0.7 nats of NLL over the n=512 warm-start optimum at 46% of the
-    # daily field's wall, and the smoothing pass (GPR_CS2S3.py:299-307)
-    # washes per-cell estimator noise out of the product anyway. The seed
-    # pass has run on 1024-point subsamples since r2 (seed_opt_n) on the
-    # same argument. Guarded end-to-end by bench.py's rmse_vs_truth.
-    opt_n_max: int = 0
+    # Default 1024 since r4: the warm-rep pipeline A/B (tools/r3_ab.py at
+    # scale 0.12, two reps on shared subsamples) measured rmse_vs_truth
+    # IDENTICAL to full-N fine passes within 0.02 mm (base 0.01220/0.01211
+    # vs trunc1024 0.01219/0.01213) while deleting the N=2048/4096 fine
+    # stages — the dominant remaining optimize cost (the n=2048 stage ran
+    # 67-76 s for MEDIAN ZERO iterations: pure lockstep straggler waste).
+    # 1024 over 512 (0.01218/0.01207, another 1.4x) because halved
+    # estimator variance hedges spatially varying real-data hyper fields
+    # the synthetic A/B cannot probe. The smoothing pass
+    # (GPR_CS2S3.py:299-307) washes per-cell estimator noise out of the
+    # product anyway; the seed pass has run on 1024-point subsamples since
+    # r2 (seed_opt_n) on the same argument. Guarded end-to-end by
+    # bench.py's rmse_vs_truth. OI_OPT_N_MAX overrides for hardware A/Bs.
+    opt_n_max: int = int(os.environ.get("OI_OPT_N_MAX", "1024"))
     # Spatial seeding: optimize only every stride-th grid cell from cold
     # start, nearest-fill their optimized hypers across the grid, then
     # optimize ALL cells initialized from their nearest seed (hyper fields

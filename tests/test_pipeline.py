@@ -144,6 +144,30 @@ def test_spatially_varying_prior_field(small_season):
         )
 
 
+def test_opt_n_max_caps_estimation_not_prediction(small_season):
+    """DailyConfig.opt_n_max (default 1024 since the r4 hardware A/B):
+    hyperparameters are estimated from a uniform opt_n_max-point subsample
+    while prediction keeps the full neighborhood — so optimize stages run
+    at n <= cap, predict stages at bucket capacity, and accuracy holds."""
+    ds, truth, dates = small_season
+    cfg = DailyConfig(
+        window_days=9, radius_km=450.0, opt=OptimizeConfig(max_iters=10),
+        buckets=(128, 512), dtype="float64", spatial_seed_stride=0,
+        warmstart_n=0, opt_n_max=128,
+    )
+    stats = []
+    res = interpolate_daily(
+        ds, day=0, prior_mean=0.15, config=cfg, stats=stats
+    )
+    opt_ns = {e["n"] for e in stats if e["stage"] == "opt"}
+    pred_ns = {e["n"] for e in stats if e["stage"] == "predict"}
+    assert max(opt_ns) <= 128, stats
+    assert 512 in pred_ns, stats  # prediction stays full-N
+    active = np.isfinite(ds.sie[:, :, 4])
+    err = res.interp_smth[active] - truth[4][active]
+    assert np.sqrt(np.nanmean(err**2)) < 0.06
+
+
 def test_quicklook_precomputed_hypers_path(small_season):
     """The opt=False production path (GPR_CS2S3.py:170-172; quicklook README):
     precomputed hyper fields -> single predict pass, no optimization; must

@@ -110,6 +110,10 @@ def main() -> None:
         window_days=9, radius_km=300.0,
         opt=OptimizeConfig(max_iters=50, grad_tol=1e-3, ftol_abs=1e-3),
         dtype="float32", jitter=1e-6,
+        # "base" pins the PRE-r4 semantics (full-N fine passes) even now
+        # that DailyConfig defaults to opt_n_max=1024 — the r4 A/B that
+        # flipped that default ran exactly this menu.
+        opt_n_max=0,
     )
     menu = {
         "base": base_cfg,
