@@ -75,7 +75,7 @@ BIG_SCALES = (1.0, 0.5, 0.25)  # optional single-day upgrade, largest fitting
 # would otherwise pay).
 BIG_RATIO = {0.25: 1.15, 0.5: 1.6, 1.0: 2.5}
 WAVE_DAYS = int(os.environ.get("OI_BENCH_WAVE_DAYS", "4"))
-WAVE_SCALES = (0.12, 0.06, 0.03)  # largest fitting wins
+WAVE_SCALES = (0.25, 0.12, 0.06, 0.03)  # largest fitting wins
 _PROC_T0 = time.time()
 
 

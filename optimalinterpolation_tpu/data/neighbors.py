@@ -26,23 +26,33 @@ from optimalinterpolation_tpu.data.window import TrainingVectors
 
 __all__ = ["NeighborhoodBatch", "gather_neighborhoods", "bucketize_counts"]
 
-# No 128 bucket by default: cells with <=128 neighbors are rare at the
-# production radius (a sparse-edge population that varies day to day), and
-# every bucket capacity is its own family of compiled executables (~10-40 s
-# per-process load each on the tunneled TPU runtime). Folding them into the
-# 256 bucket costs negligible masked compute and keeps the executable set
-# identical across days. OI_BUCKET_128=1 (read at import, like the other
-# A/B env knobs) restores the 128 bucket end-to-end so the trade can be
-# measured on hardware (the reference never pads at all,
-# GPR_CS2S3.py:159-161); masked identity-padding makes the two routings
-# agree to float noise (tests/test_neighbors.py), so this is purely a
-# launch-economics decision — tools/r3_ab.py's `bucket128` variant is the
-# measurement harness.
+# No 128 or 256 bucket by default: cells with <=256 neighbors are a small
+# sparse-edge population at the production radius (~2% of a full pan-Arctic
+# day), every bucket capacity is its own family of compiled executables
+# (~10-40 s per-process load each on the tunneled TPU runtime), and the
+# sub-512 capacities route to the fused Pallas kernel whose launch
+# economics are the worst of the three backends on that runtime: the r4
+# bench rehearsal measured opt:n256 at 77 s for 256 cells in the wave pass,
+# 56 s for 456 cells at scale 1.0, and seed/predict:n256 at 30-46 s for
+# <60 cells — all at ~0.0 effective TFLOP/s (pure load/launch overhead),
+# the single largest anomaly family in every pass. Folding these cells
+# into the 512 bucket costs negligible masked compute (8x padding on 2% of
+# cells, identity-padded exactly) and REUSES the already-warm blocked
+# n=512 executables that the cascade stages load anyway. OI_BUCKET_128=1 /
+# OI_BUCKET_256=1 (read at import, like the other A/B env knobs) restore
+# the small buckets end-to-end so the trade can be re-measured on hardware
+# (the reference never pads at all, GPR_CS2S3.py:159-161); masked
+# identity-padding makes the routings agree to float noise
+# (tests/test_neighbors.py), so this is purely a launch-economics
+# decision — tools/r3_ab.py's `bucket128` variant is the measurement
+# harness.
 import os as _os
 
 DEFAULT_BUCKETS = (
-    (128,) if _os.environ.get("OI_BUCKET_128") else ()
-) + (256, 512, 1024, 2048, 4096)
+    ((128,) if _os.environ.get("OI_BUCKET_128") else ())
+    + ((256,) if _os.environ.get("OI_BUCKET_256") else ())
+    + (512, 1024, 2048, 4096)
+)
 
 
 @dataclasses.dataclass

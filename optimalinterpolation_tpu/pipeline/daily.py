@@ -288,7 +288,15 @@ _PALLAS_CHUNK_CAP = {128: 2048, 256: 2048, 512: 1024, 1024: 384}
 # Live buffers on the Nystrom objective path, in units of (N, M) arrays per
 # cell: Knm, Phi, their VJP residuals, and the 3 per-dimension displacement
 # transients of the cross-kernel build (nothing (N, N)-sized exists).
-_MEM_BUFFERS_NYSTROEM = 10
+# 5 = measured 4.1 (tools/probe_hbm.py XLA memory analysis, r3; re-probed
+# at the new tile in r4) + headroom. The old conservative 10 put the
+# n=1024/m=512 chunk at 318 rows -> 128-row launch tiles; <= 5.45 buffers
+# reaches the next TILE_MENU size (512 rows), quartering the launch count
+# of the dominant opt:n1024:m512 stage — which pays ~0.3-0.5 s of fixed
+# per-launch tunnel latency (upload+writeback, r4 OI_OPT_TRACE) and runs
+# at MEDIAN ZERO iterations (warm-started), so fixed launch cost, not
+# compute, bounds it.
+_MEM_BUFFERS_NYSTROEM = 5
 
 
 def _chunk_rows(
