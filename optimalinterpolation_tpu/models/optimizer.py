@@ -718,6 +718,11 @@ def _writeback(host: dict, rows: np.ndarray, st: LbfgsState) -> None:
         host[k][rows] = v[:n]
 
 
+# First-sweep segment length for optimize_mll_chunked (see the in-loop
+# comment); OI_FIRST_SEG overrides for hardware A/Bs.
+_FIRST_SEGMENT_ITERS = int(os.environ.get("OI_FIRST_SEG", "4"))
+
+
 def optimize_mll_chunked(
     log_hypers0: np.ndarray,  # (B, 5)
     x: np.ndarray,  # (B, N, d)
@@ -817,7 +822,23 @@ def optimize_mll_chunked(
     iters_done = 0
     fresh = True
     while fresh or (iters_done < config.max_iters and live.any()):
-        seg = max(0, min(segment_iters, config.max_iters - iters_done))
+        # The FIRST sweep is short (a verify-and-drain pass): production
+        # stages mostly run warm-started (chained/seeded inits, cascade
+        # stages) with MEDIAN ZERO iterations per cell but a long straggler
+        # tail (r4 bench: max 36-46), and inside one chunk a single
+        # straggler carries every row through the segment in lockstep — at
+        # full segment length the first sweep's idle-row compute dominated
+        # the dominant stage's wall (opt:n1024:m512, 218 s of a 482 s wave
+        # pass). A short first segment converges/drains the bulk cheaply
+        # and compacts the stragglers into narrow chunks for the full-
+        # length later sweeps; for cold starts it merely adds one sweep
+        # boundary (a few launches). Per-cell trajectories are unchanged
+        # (segmentation is unobservable to a cell — see docstring).
+        seg_cap = (
+            min(_FIRST_SEGMENT_ITERS, segment_iters) if fresh
+            else segment_iters
+        )
+        seg = max(0, min(seg_cap, config.max_iters - iters_done))
         idx = np.arange(b_tot) if fresh else np.nonzero(live)[0]
         for real, rows in chunks_over(idx):
             t0 = time.perf_counter()
