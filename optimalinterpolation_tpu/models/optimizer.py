@@ -718,9 +718,20 @@ def _writeback(host: dict, rows: np.ndarray, st: LbfgsState) -> None:
         host[k][rows] = v[:n]
 
 
-# First-sweep segment length for optimize_mll_chunked (see the in-loop
-# comment); OI_FIRST_SEG overrides for hardware A/Bs.
-_FIRST_SEGMENT_ITERS = int(os.environ.get("OI_FIRST_SEG", "4"))
+# Leading segment lengths for optimize_mll_chunked's sweeps (see the
+# in-loop comment): sweep k runs _SEG_SCHEDULE[k] iterations, later sweeps
+# the caller's segment_iters. Warm-rep A/Bs at scale 0.12 measured the
+# dominant warm-started stage (opt:n1024:m512, ~1740 cells) at 29.9 s
+# with full-length first sweeps, 22.1 s with a 4-iteration first sweep,
+# and 16.2 s with a 1-iteration first sweep (eff 0.48 -> 0.64 -> 0.90),
+# with cold (seed) and cascade stages unchanged — converged-at-init cells
+# exit after one cheap sweep and the stragglers compact into narrow
+# chunks. The second entry (4) catches the median-~4-iteration bulk of
+# cascade stages before the full-length straggler sweeps.
+# OI_SEG_SCHEDULE="a,b,..." overrides for hardware A/Bs.
+_SEG_SCHEDULE = tuple(
+    int(x) for x in os.environ.get("OI_SEG_SCHEDULE", "1,4").split(",") if x
+)
 
 
 def optimize_mll_chunked(
@@ -821,22 +832,24 @@ def optimize_mll_chunked(
     live = None
     iters_done = 0
     fresh = True
+    sweep = 0
     while fresh or (iters_done < config.max_iters and live.any()):
-        # The FIRST sweep is short (a verify-and-drain pass): production
+        # LEADING sweeps are short (verify-and-drain passes): production
         # stages mostly run warm-started (chained/seeded inits, cascade
-        # stages) with MEDIAN ZERO iterations per cell but a long straggler
-        # tail (r4 bench: max 36-46), and inside one chunk a single
-        # straggler carries every row through the segment in lockstep — at
-        # full segment length the first sweep's idle-row compute dominated
-        # the dominant stage's wall (opt:n1024:m512, 218 s of a 482 s wave
-        # pass). A short first segment converges/drains the bulk cheaply
-        # and compacts the stragglers into narrow chunks for the full-
-        # length later sweeps; for cold starts it merely adds one sweep
-        # boundary (a few launches). Per-cell trajectories are unchanged
-        # (segmentation is unobservable to a cell — see docstring).
+        # stages) with MEDIAN ZERO-to-4 iterations per cell but a long
+        # straggler tail (r4 bench: max 36-46), and inside one chunk a
+        # single straggler carries every row through the segment in
+        # lockstep — at full segment length the first sweep's idle-row
+        # compute dominated the dominant stage's wall (opt:n1024:m512,
+        # 218 s of a 482 s wave pass). Short leading segments converge/
+        # drain the bulk cheaply and compact the stragglers into narrow
+        # chunks for the full-length later sweeps; for cold starts they
+        # merely add sweep boundaries (a few launches). Per-cell
+        # trajectories are unchanged (segmentation is unobservable to a
+        # cell — see docstring).
         seg_cap = (
-            min(_FIRST_SEGMENT_ITERS, segment_iters) if fresh
-            else segment_iters
+            min(_SEG_SCHEDULE[sweep], segment_iters)
+            if sweep < len(_SEG_SCHEDULE) else segment_iters
         )
         seg = max(0, min(seg_cap, config.max_iters - iters_done))
         idx = np.arange(b_tot) if fresh else np.nonzero(live)[0]
@@ -882,6 +895,7 @@ def optimize_mll_chunked(
         live = live_mask()
         iters_done += seg
         fresh = False
+        sweep += 1
 
     params = host["params"]
     value = host["value"]

@@ -285,6 +285,10 @@ _MEM_BUFFERS_BLOCKED_PREDICT = 2.5
 _PALLAS_CHUNK_CAP = {128: 2048, 256: 2048, 512: 1024, 1024: 384}
 
 
+# A/B knob: force cascade warm-start stages onto a rank-M Nystrom objective
+# below the production routing threshold (see _optimize_bucket). 0 = off.
+_CASCADE_NYS_M = int(os.environ.get("OI_CASCADE_NYS_M", "0"))
+
 # Live buffers on the Nystrom objective path, in units of (N, M) arrays per
 # cell: Knm, Phi, their VJP residuals, and the 3 per-dimension displacement
 # transients of the cross-kernel build (nothing (N, N)-sized exists).
@@ -556,15 +560,30 @@ def _optimize_bucket(
             if rows.size < len(full_b):
                 sx, sz, sm = sx[rows], sz[rows], sm[rows]
                 pc_stage = prior_col[rows]
-            stage_nys_m = routed_nystroem_m(stage_cfg, n_sub)
+            # A/B knob (OI_CASCADE_NYS_M=256): run cascade stages below the
+            # production Nystrom routing threshold on a rank-M Nystrom
+            # objective anyway. A cascade stage only produces an INIT for
+            # the fine pass (stage ftol is warmstart_ftol = 0.1 nats), so a
+            # rank-n/2 approximation is comfortably inside its tolerance;
+            # the question is pure wall-clock. Applies to the launch config
+            # only — stage_cfg (and the fine_cfg derived from it below)
+            # keeps production routing.
+            launch_cfg = stage_cfg
+            if (_CASCADE_NYS_M and n_sub >= 2 * _CASCADE_NYS_M
+                    and not routed_nystroem_m(stage_cfg, n_sub)):
+                launch_cfg = dataclasses.replace(
+                    stage_cfg, nystroem_min_n=n_sub,
+                    nystroem_m=_CASCADE_NYS_M,
+                )
+            stage_nys_m = routed_nystroem_m(launch_cfg, n_sub)
             wchunk = _chunk_rows(
                 n_sub, cfg.batch_multiple, cfg.max_chunk_bytes,
-                dtype.itemsize, restarts=stage_cfg.restarts,
+                dtype.itemsize, restarts=launch_cfg.restarts,
                 nystroem_m=stage_nys_m,
             )
             pre = optimize_mll_chunked(
                 h0_stage, sx, sz - pc_stage, sm,
-                stage_cfg, chunk_rows=wchunk,
+                launch_cfg, chunk_rows=wchunk,
                 segment_iters=cfg.opt_segment_iters,
                 sharding=cell_sharding,
             )
