@@ -9,30 +9,36 @@ is ~17.7k active cells; the reference farms one day per mpirun job
 This bench generates a synthetic season at the reference's production scale
 (320x320 @ 25 km, 9-day windows, ~300 km neighborhoods) and runs the full
 two-pass pipeline (per-cell MLL optimization, hyperparameter smoothing,
-re-prediction):
+re-prediction) as a pass ladder:
 
   - a smoke-sized pass prints its JSON line IMMEDIATELY (a conservative
     cold-process number beats no number: the driver runs this unattended
     with a hard timeout, and backend init alone costs 5-8 min);
   - a single-day production pass at CAL_SCALE re-times at production config
     (this pass also pays the one-time per-process program-load bill and
-    calibrates the cost model for everything after it);
-  - a WAVE pass (pipeline.multiday: several days stacked into one combined
-    cell batch — the season-scale execution model) runs NEXT, reusing the
-    calibration pass's warmed executables; its season metric is re-printed
-    LAST (compacted — see _compact) so the driver records it as the headline;
-  - if budget remains, a bigger single-day pass upgrades the daily line.
+    seeds the cost model's warm rate);
+  - a COLD WAVE pass (pipeline.multiday: several days stacked into one
+    combined cell batch — the season-scale execution model) at the largest
+    affordable scale, spatial-seeded like the season's wave 0;
+  - a STEADY (chained) wave pass over the interleaved days, every day
+    warm-started from its predecessor's optimized hypers exactly as
+    pipeline.season's strided waves do — the sustained season rate the
+    <10-min-winter north-star is written in (cold seed/cascade costs exist
+    only on wave 0 of a season);
+  - a bigger single-day pass with whatever budget remains.
 
 EXIT CONTRACT (the hard-won part): the driver only parses output from a
-process that EXITS 0 BEFORE its own timeout — rounds 1 and 2 both recorded
-rc=124/parsed=null from a child that printed valid lines but was still
-running at the kill. So the whole run is budgeted at OI_BENCH_DEADLINE_S
-(default 1500 s) from process start: every pass is cost-gated against the
-measured calibration pass before launching, and the supervisor kills a
-warmed child THE MOMENT the deadline passes and still exits 0 (the printed
-lines stand). Calibration data from the round-2 full run
-(.bench_r2a_full.log): backend init ~6.2 min, smoke line at +6.5 min, a
-production pass 4.5-11 min depending on scale (wall ~ 230 + 420*scale s).
+process that EXITS 0 BEFORE its own timeout, and it keeps only a ~2000-char
+TAIL of stdout — so after EVERY pass the compacted best-headline-so-far is
+re-printed (see _compact/_headline_pick). The last complete JSON line on
+stdout is therefore always a parseable compact headline, no matter when the
+supervisor kills the child: a deadline kill costs the in-flight pass, never
+the artifact (rounds 1-3 recorded parsed=null from fat final lines and
+rc=124 kills; round 4's ladder stayed parseable only by gating so
+conservatively that every >=0.12-scale pass was skipped — VERDICT r4).
+The whole run is budgeted at OI_BENCH_DEADLINE_S from process start and the
+supervisor kills a warmed child THE MOMENT the deadline passes, exiting 0
+(the printed lines stand).
 
 Output: JSON lines {"metric", "value", "unit", "vs_baseline", "detail"};
 detail carries per-bucket wall-clock, a documented FLOP model, effective
@@ -54,36 +60,57 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/oi_jax_cache")
 
 BASELINE_CELLS_PER_SEC = 1.0 / 102.59
 
-# 12 synthetic days => 4 valid 9-day windows: enough for a 4-day wave pass.
-# The cache dir is versioned by day count so a stale 9-day cache from an
-# earlier round is never half-reused.
-N_DAYS = 12
+# 16 synthetic days => 8 valid 9-day windows: two interleaved 4-day waves
+# (cold wave on the even windows, chained wave on the odd ones — the
+# season's strided-wave pattern, pipeline.season._run_season_waves).
+# The cache dir is versioned by day count so a stale cache from an earlier
+# round is never half-reused.
+N_DAYS = 16
 WINDOW_DAYS = 9
 CACHE = os.environ.get("OI_BENCH_CACHE", f"/tmp/oi_bench_data_{N_DAYS}d")
 GRID_RES_KM = 25
 
 # Pass ladder. Per-cell cost is scale-independent (the subsample drops
 # prediction cells, never observations), but larger scales amortize fixed
-# costs (program loads, seeding, launch overhead) better — measured wall
-# ~ 230 + 420*scale s on v5e (r2). OI_BENCH_SCALE pins the ladder to
-# smoke + that one production scale (no wave).
+# costs (program loads, seeding, launch overhead) better. OI_BENCH_SCALE
+# pins the ladder to smoke + that one production scale (no wave).
 SMOKE_SCALE = 0.006
-CAL_SCALE = 0.12  # always-run production pass; calibrates the cost model
+CAL_SCALE = 0.12  # always-run production pass; seeds the cost model
 BIG_SCALES = (1.0, 0.5, 0.25)  # optional single-day upgrade, largest fitting
-# Single-day wall ratios vs the CAL_SCALE pass (r2 measured 1.02/1.43/2.21,
-# padded ~15% because the calibration pass amortizes loads the next pass
-# would otherwise pay).
-BIG_RATIO = {0.25: 1.15, 0.5: 1.6, 1.0: 2.5}
 WAVE_DAYS = int(os.environ.get("OI_BENCH_WAVE_DAYS", "4"))
 WAVE_SCALES = (0.25, 0.12, 0.06, 0.03)  # largest fitting wins
 _PROC_T0 = time.time()
+
+# ---------------------------------------------------------------------------
+# Cost model (recalibrated r5 from r4 evidence). The CAL pass is dominated
+# by one-time per-process program loads (r4 rehearsals: cold cal@0.12 ranged
+# 208-645 s purely with tunnel weather), while every warm pass after it runs
+# at a roughly scale-independent cells/s (r4: wave@0.06 44.1, wave@0.25
+# 42.0-49.1, day@1.0 42.5-49.1). Passes are therefore estimated from a WARM
+# RATE in cells/s — seeded from the calibration pass (whose own rate
+# underestimates warm passes ~3x, program loads being ~2/3 of a clean cal
+# wall) and replaced by the measured rate of each completed cold pass — plus
+# a small fixed per-pass overhead. The retired r2-era scale-ratio model
+# over-estimated big passes 4-8x (VERDICT r4 weak #1) and priced every
+# >=0.12-scale pass out of the r4 artifact.
+# ---------------------------------------------------------------------------
+_WARM_FIXED_S = 30.0
+_WARM_RATE_CAL_MULT = 3.0  # warm rate ~ 3x the (load-dominated) cal rate
+_WARM_RATE_CAP = 50.0  # best measured clean warm rate; never extrapolate past
+# Attempt optimistically: the compact headline is re-printed after every
+# pass, so a deadline kill can never cost a parsed line — a too-big attempt
+# wastes budget, never the artifact.
+_EST_OPTIMISM = 0.75
 
 
 def _deadline() -> float:
     """Hard budget end, measured from PROCESS START. Two rounds of driver
     evidence (BENCH_r01/r02: rc=124, parsed=null) show the driver never
-    parses a timed-out child; its observed window is ~33-39 min, so the
-    default leaves >8 min of margin for tunnel weather."""
+    parses a timed-out child; its observed window is ~33-39 min. 1700 s
+    (~28.3 min) leaves ~4.7 min of margin at the worst-case 33-min window —
+    thin, but the supervisor's deadline kill itself takes <2 s and the
+    kill-safe last-line contract means nothing after the deadline needs to
+    happen for the artifact to parse."""
     t0 = float(os.environ.get("OI_BENCH_T0", _PROC_T0))
     return t0 + float(os.environ.get("OI_BENCH_DEADLINE_S", 1700))
 
@@ -91,6 +118,8 @@ def _deadline() -> float:
 # Budget decisions (passes skipped because their cost estimate exceeded the
 # remaining budget) — recorded into the FINAL line's detail so the artifact
 # itself explains why e.g. no scale-1.0 line exists (VERDICT r3 missing #3).
+# Reset at the top of main() (a second main() in one process must not carry
+# stale reasons — ADVICE r4).
 _SKIPPED: list = []
 
 
@@ -186,9 +215,9 @@ def _supervise_loop(marker, env, deadline, init_timeout, attempt) -> int:
                 break
             if now > deadline and os.path.exists(marker):
                 # Deadline with a JSON line already on stdout: exit 0 NOW.
-                # The child normally budget-gates itself well clear of this;
-                # reaching here means a pass misjudged its cost or the
-                # tunnel stormed, and every second of waiting is rc=124 risk.
+                # The last complete stdout line is a compact headline (see
+                # emit), so the kill costs only the in-flight pass, and
+                # every second of waiting is rc=124 risk.
                 print(f"bench attempt {attempt}: deadline reached with warm "
                       "line out, killing child and exiting 0",
                       file=sys.stderr)
@@ -352,6 +381,7 @@ def main():
     from optimalinterpolation_tpu.pipeline.daily import DailyConfig, interpolate_daily
     from optimalinterpolation_tpu.pipeline.multiday import interpolate_days
 
+    _SKIPPED.clear()
     deadline = _deadline()
 
     def subsampled(scale: float, seed: int):
@@ -379,6 +409,11 @@ def main():
     smoke_cfg = dataclasses.replace(
         cfg, buckets=(512,), warmstart_n=0, spatial_seed_stride=0,
     )
+
+    def active_cells(ds, days) -> int:
+        return sum(
+            int(np.isfinite(ds.sie[:, :, d + cfg.t_mid]).sum()) for d in days
+        )
 
     # Probe the device with one trivial program first: backend init (the
     # 5-8 min / fails-after-25-min phase) completes HERE, and writing the
@@ -413,6 +448,11 @@ def main():
     outs: list = []
 
     def emit(out: dict) -> dict:
+        """Print the full-economics line, then RE-PRINT the compacted
+        best-headline-so-far — the kill-safe last-line contract: whenever
+        the supervisor's deadline kill lands, the last complete JSON line on
+        stdout is a compact parseable headline, so optimistic big-pass
+        attempts cost nothing if killed (VERDICT r4 weak #2)."""
         print(json.dumps(out), flush=True)
         outs.append(out)
         if len(outs) == 1 and os.environ.get("OI_BENCH_WARM_MARKER"):
@@ -420,11 +460,11 @@ def main():
             # retries (a retry's ~5-8 min re-init cannot beat this line).
             with open(os.environ["OI_BENCH_WARM_MARKER"], "w"):
                 pass
+        print(json.dumps(_compact(_headline_pick(outs))), flush=True)
         return out
 
-    def run_single_day(scale: float, pass_cfg, label: str, seed: int) -> dict:
-        ds = subsampled(scale, seed=seed)
-        n_active = int(np.isfinite(ds.sie[:, :, pass_cfg.t_mid]).sum())
+    def run_single_day(ds, scale: float, pass_cfg, label: str) -> dict:
+        n_active = active_cells(ds, [0])
         stats: list = []
         t0 = time.time()
         res = interpolate_daily(
@@ -453,38 +493,39 @@ def main():
             },
         })
 
-    def run_wave(scale: float, n_days_wave: int, seed: int) -> dict:
-        """Season-scale pass: n_days_wave days stacked into ONE combined
-        cell batch (pipeline.multiday) — the execution model run_season uses
-        for full-winter production, vs the reference's one-day-per-mpirun
-        scheduling (GPR_CS2S3.py:336)."""
-        ds = subsampled(scale, seed=seed)
-        days = list(range(n_days_wave))
-        t_mid = cfg.t_mid
-        n_active = sum(
-            int(np.isfinite(ds.sie[:, :, d + t_mid]).sum()) for d in days
-        )
+    def run_wave(ds, scale: float, days: list, init_hypers, metric: str,
+                 label: str) -> tuple[dict, list]:
+        """Season-scale pass: len(days) days stacked into ONE combined cell
+        batch (pipeline.multiday) — the execution model run_season uses for
+        full-winter production, vs the reference's one-day-per-mpirun
+        scheduling (GPR_CS2S3.py:336). With ``init_hypers`` (one per-day
+        dict of hyper fields) every day warm-starts from its predecessor's
+        optimum — the CHAINED steady state every season wave j >= 1 runs in
+        (pipeline.season._run_season_waves; the reference's production
+        analogue is quicklook hyper reuse, GPR_CS2S3.py:170-172)."""
+        n_active = active_cells(ds, days)
         stats: list = []
         t0 = time.time()
         res_list = interpolate_days(
-            ds, days, [0.15] * len(days), config=cfg, stats=stats
+            ds, days, [0.15] * len(days), config=cfg, stats=stats,
+            init_hypers=init_hypers,
         )
         wall = time.time() - t0
         finite, rmses = 0, []
         for d, r in zip(days, res_list):
-            f, rmse = score(r.interp_smth, d + t_mid)
+            f, rmse = score(r.interp_smth, d + cfg.t_mid)
             finite += f
             rmses.append(rmse)
         cells_per_sec = n_active / wall
         eco = _economics(stats, wall)
-        return emit({
-            "metric": "season_wave_optimized_cells_per_sec",
+        out = emit({
+            "metric": metric,
             "value": round(cells_per_sec, 3),
             "unit": "cells/s",
             "vs_baseline": round(cells_per_sec / BASELINE_CELLS_PER_SEC, 1),
             "detail": {
                 "scale": scale,
-                "config": "wave-production",
+                "config": label,
                 "wave_days": len(days),
                 "active_cells": n_active,
                 "finite_outputs": finite,
@@ -497,56 +538,94 @@ def main():
                 "economics": eco,
             },
         })
+        return out, res_list
 
     def left() -> float:
         return deadline - time.time()
 
     # ---- pass ladder -------------------------------------------------------
     if not os.environ.get("OI_BENCH_NO_SMOKE"):
-        run_single_day(SMOKE_SCALE, smoke_cfg,
-                       "smoke(buckets<=512,truncated,no-seed,no-cascade)", 0)
+        ds_smoke = subsampled(SMOKE_SCALE, seed=0)
+        run_single_day(ds_smoke, SMOKE_SCALE, smoke_cfg,
+                       "smoke(buckets<=512,truncated,no-seed,no-cascade)")
 
     pinned = os.environ.get("OI_BENCH_SCALE")
     if pinned:
-        run_single_day(float(pinned), cfg, "production", 1)
+        run_single_day(subsampled(float(pinned), seed=1), float(pinned), cfg,
+                       "production")
         return _finalize(outs)
 
     # Calibration production pass: pays the per-process program-load bill
-    # and anchors the cost model. r2-measured ~5 min warm; gate on a
-    # conservative 600 s estimate.
+    # and seeds the cost model's warm rate. r4-measured 208-645 s cold at
+    # this scale depending on tunnel weather; gate on a conservative 600 s.
     cal = None
     if left() > 620:
-        cal = run_single_day(CAL_SCALE, cfg, "production", 1)
-    cal_wall = cal["detail"]["wall_s"] if cal else None
+        cal = run_single_day(subsampled(CAL_SCALE, seed=1), CAL_SCALE, cfg,
+                             "production")
+    if cal is None:
+        return _finalize(outs)
+    # Warm rate (cells/s) used to estimate every later pass; replaced by
+    # each completed COLD pass's measured rate (the steady chained wave runs
+    # faster than cold passes, so its rate would under-estimate the cold
+    # day pass that follows — cold rates only).
+    warm_rate = min(
+        _WARM_RATE_CAL_MULT * cal["value"], _WARM_RATE_CAP
+    )
+
+    def est_s(n_cells: int) -> float:
+        return _WARM_FIXED_S + n_cells / warm_rate
+
+    def affordable(n_cells: int) -> bool:
+        return left() > _EST_OPTIMISM * est_s(n_cells) + 20
 
     wave_on = os.environ.get("OI_BENCH_WAVE", "1") != "0" and WAVE_DAYS > 1
-    if cal_wall is not None:
-        # Wave cost model: wall ~ fixed + var * (total scale). At CAL_SCALE
-        # the fixed share is ~0.8 of the pass (r2: wall ~ 230 + 420*scale).
-        def wave_est(s: float) -> float:
-            return cal_wall * (0.8 + 0.2 * (WAVE_DAYS * s) / CAL_SCALE) * 1.3
-
-        # The wave runs FIRST (immediately after calibration, reusing its
-        # warmed executables): it is the headline metric (the north-star is
-        # a season target) and in r3 a big single-day pass running first
-        # priced it out of the budget entirely (VERDICT r3 missing #2).
-        if wave_on:
-            for s in WAVE_SCALES:
-                if left() > wave_est(s) + 30:
-                    run_wave(s, WAVE_DAYS, seed=3)
-                    break
-                _SKIPPED.append(
-                    f"wave@{s}: est {wave_est(s):.0f}s > {left():.0f}s left"
-                )
-        # Optional bigger single-day pass with whatever budget remains.
-        for s in BIG_SCALES:
-            est = cal_wall * BIG_RATIO[s] * 1.15
-            if left() > est + 30:
-                run_single_day(s, cfg, "production", 2)
+    # The wave pair runs FIRST (immediately after calibration, reusing its
+    # warmed executables): the north-star is a season target. Cold wave on
+    # the even windows, then the chained steady wave on the odd windows —
+    # exactly the season's strided interleave.
+    wave0_days = [2 * k for k in range(WAVE_DAYS)]
+    wave1_days = [2 * k + 1 for k in range(WAVE_DAYS)]
+    if wave_on:
+        wave_scale, ds_wave = None, None
+        for s in WAVE_SCALES:
+            ds_try = subsampled(s, seed=3)
+            n0 = active_cells(ds_try, wave0_days)
+            if affordable(n0):
+                wave_scale, ds_wave = s, ds_try
                 break
             _SKIPPED.append(
-                f"day@{s}: est {est:.0f}s > {left():.0f}s left"
+                f"wave@{s}: est {est_s(n0):.0f}s > {left():.0f}s left"
             )
+        if wave_scale is not None:
+            out0, res0 = run_wave(
+                ds_wave, wave_scale, wave0_days, None,
+                "season_wave_optimized_cells_per_sec", "wave-cold-seeded",
+            )
+            if not out0["detail"]["anomaly"]:
+                warm_rate = min(out0["value"], _WARM_RATE_CAP)
+            # Steady (chained) wave: day 2k+1 initializes from day 2k's
+            # optimized per-cell hypers, season-style. Same ds (same
+            # subsample seed) so the chained fields cover the same cells.
+            n1 = active_cells(ds_wave, wave1_days)
+            if affordable(n1):
+                run_wave(
+                    ds_wave, wave_scale, wave1_days,
+                    [r.hypers for r in res0],
+                    "season_steady_cells_per_sec", "wave-steady-chained",
+                )
+            else:
+                _SKIPPED.append(
+                    f"steady-wave@{wave_scale}: est {est_s(n1):.0f}s > "
+                    f"{left():.0f}s left"
+                )
+    # Bigger single-day pass with whatever budget remains.
+    for s in BIG_SCALES:
+        ds_day = subsampled(s, seed=2)
+        nd = active_cells(ds_day, [0])
+        if affordable(nd):
+            run_single_day(ds_day, s, cfg, "production")
+            break
+        _SKIPPED.append(f"day@{s}: est {est_s(nd):.0f}s > {left():.0f}s left")
     return _finalize(outs)
 
 
@@ -561,32 +640,46 @@ def _compact(out: dict) -> dict:
     recorded parsed=null because the driver keeps only a ~2000-char tail of
     stdout and the full-economics detail is ~3x that — its capture began
     mid-JSON. The full line (with per-stage economics) is already printed
-    earlier in stdout by emit(); this re-printed FINAL line must stay well
-    under the tail window."""
+    earlier in stdout by emit(); this compacted line must stay well under
+    the tail window. ``top_stages`` keeps the 3 biggest wall-clock stages
+    (name -> seconds) so the dominant-stage share survives into the driver
+    artifact even though the full economics do not."""
     d = out["detail"]
     compact = {k: d[k] for k in _COMPACT_DETAIL_KEYS if k in d}
     eco = d.get("economics", {})
     compact["eff_tflops_per_s"] = eco.get("eff_tflops_per_s")
     compact["anomalous_stages"] = eco.get("anomalous_stages", [])
+    stages = eco.get("stages", {})
+    if stages:
+        top = sorted(stages.items(), key=lambda kv: -kv[1]["wall_s"])[:3]
+        compact["top_stages"] = {k: v["wall_s"] for k, v in top}
     if _SKIPPED:
         compact["skipped_passes"] = _SKIPPED[:4]
     return {**out, "detail": compact}
 
 
-def _finalize(outs: list) -> int:
-    """Re-print the headline line LAST (the driver takes the last JSON line):
-    the season wave metric when a clean wave pass exists (the north-star is
-    a season target), else the best non-anomalous production line, else the
-    best line at all. The re-print is COMPACTED (see _compact) so the
-    driver's bounded stdout tail captures one whole JSON object."""
-    if not outs:
-        return 1
+def _headline_pick(outs: list) -> dict:
+    """The headline pass: the latest non-anomalous season metric when one
+    exists (the north-star is a season target; the steady chained wave —
+    emitted after the cold wave — is the season's sustained production
+    state), else the best non-anomalous production line, else the best line
+    at all."""
     clean = [o for o in outs if not o["detail"].get("anomaly")]
     pool = clean or outs
-    waves = [o for o in pool if o["metric"].startswith("season_wave")]
-    final = waves[-1] if waves else max(pool, key=lambda o: o["value"])
-    line = json.dumps(_compact(final))
-    if len(line) >= 1500:  # never hand the driver a mid-JSON tail again
+    waves = [o for o in pool if o["metric"].startswith("season_")]
+    return waves[-1] if waves else max(pool, key=lambda o: o["value"])
+
+
+def _finalize(outs: list) -> int:
+    """Re-print the headline line LAST (the driver takes the last JSON
+    line), COMPACTED (see _compact) so the driver's bounded stdout tail
+    captures one whole JSON object. emit() already maintains this invariant
+    after every pass; this is the clean-completion re-print."""
+    if not outs:
+        return 1
+    line = json.dumps(_compact(_headline_pick(outs)))
+    if len(line) >= 1900:  # never hand the driver a mid-JSON tail again
+        final = _headline_pick(outs)
         line = json.dumps({k: final[k] for k in
                            ("metric", "value", "unit", "vs_baseline")})
     print(line, flush=True)

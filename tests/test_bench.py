@@ -314,3 +314,59 @@ def test_economics_groups_stages_and_reports_tflops():
     assert nys["tflops"] < exact_tf / 4
     assert eco["total_model_tflops"] > 0
     assert eco["eff_tflops_per_s"] == round(eco["total_model_tflops"] / 4.0, 2)
+
+
+def test_headline_prefers_latest_clean_season_metric():
+    bench = _load_bench()
+    daily = lambda v, anom=False: {  # noqa: E731
+        "metric": "daily_panarctic_optimized_cells_per_sec", "value": v,
+        "detail": {"anomaly": anom},
+    }
+    cold = lambda v, anom=False: {  # noqa: E731
+        "metric": "season_wave_optimized_cells_per_sec", "value": v,
+        "detail": {"anomaly": anom},
+    }
+    steady = lambda v, anom=False: {  # noqa: E731
+        "metric": "season_steady_cells_per_sec", "value": v,
+        "detail": {"anomaly": anom},
+    }
+    # the steady chained wave (emitted after the cold wave) is the headline
+    assert bench._headline_pick([daily(30.0), cold(42.0), steady(60.0)])[
+        "metric"] == "season_steady_cells_per_sec"
+    # an anomalous steady wave falls back to the clean cold wave
+    assert bench._headline_pick(
+        [daily(30.0), cold(42.0), steady(60.0, anom=True)]
+    )["value"] == 42.0
+    # no season metric at all: best clean production line
+    assert bench._headline_pick([daily(30.0), daily(17.0)])["value"] == 30.0
+
+
+def test_compact_keeps_top_stages_and_stays_small():
+    import json
+
+    bench = _load_bench()
+    eco = {
+        "stages": {
+            f"opt:n{n}": {"wall_s": float(n) / 10, "cells": 9, "iters": 9,
+                          "tflops": 1.0, "eff_tflops_per_s": 0.5}
+            for n in (128, 256, 512, 1024, 2048, 4096)
+        },
+        "eff_tflops_per_s": 1.23,
+        "anomalous_stages": [],
+    }
+    out = {
+        "metric": "season_steady_cells_per_sec", "value": 55.0,
+        "unit": "cells/s", "vs_baseline": 5642.0,
+        "detail": {"scale": 0.25, "config": "wave-steady-chained",
+                   "wave_days": 4, "active_cells": 20000,
+                   "finite_outputs": 20000, "rmse_vs_truth_m": 0.0116,
+                   "wall_s": 363.0, "per_day_wall_s": 90.8,
+                   "anomaly": False, "economics": eco},
+    }
+    compact = bench._compact(out)
+    # the 3 biggest stages by wall survive into the driver artifact
+    assert set(compact["detail"]["top_stages"]) == {
+        "opt:n4096", "opt:n2048", "opt:n1024"
+    }
+    assert "economics" not in compact["detail"]
+    assert len(json.dumps(compact)) < 1000
