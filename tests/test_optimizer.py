@@ -231,3 +231,52 @@ def test_blocked_backend_trajectory_matches_xla():
     # distinct f64 implementations, so a BLAS/XLA version change can flip a
     # single line-search decision without moving the optimum.
     assert np.all(np.abs(np.asarray(rb.iters) - np.asarray(rx.iters)) <= 1)
+
+
+def test_zero_lead_verify_sweep_matches_monolithic():
+    """A leading 0-length segment (the fine-pass entry drain: init NLL+grad
+    verification, zero L-BFGS iterations, then compaction) must be
+    trajectory-identical to the monolithic run — cells converged at init
+    exit with their inits; all others continue unchanged."""
+    xs, ys, masks = _padded_cells(range(19))
+    b = xs.shape[0]
+    cfg = OptimizeConfig(max_iters=40)
+    h0_np = np.tile(X0[None], (b, 1))
+    mono = optimize_mll_batch(
+        jnp.asarray(h0_np), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(masks), cfg,
+    )
+    drained = optimize_mll_chunked(
+        h0_np, xs, ys, masks, cfg, chunk_rows=8, segment_iters=7,
+        lead_schedule=(0, 1, 4),
+    )
+    np.testing.assert_allclose(np.asarray(mono.nll), drained.nll, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(mono.log_hypers), drained.log_hypers, rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(mono.converged), drained.converged)
+    np.testing.assert_array_equal(np.asarray(mono.iters), drained.iters)
+
+
+def test_zero_lead_drains_converged_at_init():
+    """Cells whose init already satisfies grad_tol exit the 0-lead sweep
+    with ZERO iterations and their init hypers unchanged."""
+    xs, ys, masks = _padded_cells(range(9))
+    b = xs.shape[0]
+    cfg = OptimizeConfig(max_iters=40)
+    h0_np = np.tile(X0[None], (b, 1))
+    # converge once, then re-enter the optimizer from the optimum
+    first = optimize_mll_chunked(
+        h0_np, xs, ys, masks, cfg, chunk_rows=8, segment_iters=7
+    )
+    again = optimize_mll_chunked(
+        np.asarray(first.log_hypers), xs, ys, masks, cfg, chunk_rows=8,
+        segment_iters=7, lead_schedule=(0, 1, 4),
+    )
+    conv = np.asarray(first.converged)
+    assert conv.any()
+    np.testing.assert_array_equal(np.asarray(again.iters)[conv], 0)
+    np.testing.assert_allclose(
+        np.asarray(again.log_hypers)[conv],
+        np.asarray(first.log_hypers)[conv], rtol=0, atol=0,
+    )

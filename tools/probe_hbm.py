@@ -75,7 +75,22 @@ def probe(n: int, b: int, m: int = 0) -> dict:
     )
     mem = lowered.compile().memory_analysis()
     unit = (n * m if m else n * n) * 4.0
-    return _mem_report(n, b, mem, unit, backend)
+    r = _mem_report(n, b, mem, unit, backend)
+    # Guard the pipeline's chunk memory model (ADVICE r4): flag any probe
+    # whose measured live set reaches the model constant that sizes
+    # production launch tiles — a kernel change that grows the live set must
+    # surface HERE (model_ok=False) instead of as an on-device OOM.
+    from optimalinterpolation_tpu.pipeline import daily as D
+
+    if m:
+        # model: (_MEM_BUFFERS_NYSTROEM * n * m + 4 m^2) f32 per cell;
+        # the 4 m^2 term is (4 m / n) in (n, m)-buffer units
+        budget = D._MEM_BUFFERS_NYSTROEM + 4.0 * m / n
+    else:
+        budget = D._MEM_BUFFERS_BLOCKED
+    r["model_budget"] = round(budget, 2)
+    r["model_ok"] = bool(r["buffers_equiv"] <= budget)
+    return r
 
 
 def probe_predict(n: int, b: int) -> dict:
