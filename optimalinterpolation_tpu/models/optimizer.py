@@ -695,24 +695,35 @@ _HIST_FIELDS = ("s_h", "y_h", "rho_h")
 
 
 def _state_to_host(st: LbfgsState) -> dict:
-    d = {k: np.asarray(v) for k, v in st._asdict().items()}
+    # ONE pytree fetch: jax.device_get issues copy_to_host_async on every
+    # leaf BEFORE blocking, so the 12 state fields pay one tunnel round-trip
+    # latency instead of 12 sequential ones. Measured on the tunneled TPU
+    # runtime (r5 OI_OPT_TRACE): per-field np.asarray cost a flat ~0.29 s
+    # PER LAUNCH regardless of rows — the dominant per-launch cost of every
+    # segmented stage (launches are many, state is ~100 KB).
+    d = jax.device_get(st._asdict())
     for k in _HIST_FIELDS:
         d[k] = np.moveaxis(d[k], 1, 0)  # (B, m, ...)
     return d
 
 
-def _host_rows_to_state(host: dict, rows: np.ndarray, put) -> LbfgsState:
+def _host_rows_to_state(host: dict, rows: np.ndarray) -> LbfgsState:
     d = {k: v[rows] for k, v in host.items()}
     for k in _HIST_FIELDS:
         d[k] = np.moveaxis(d[k], 0, 1)  # back to (m, B, ...)
-    return LbfgsState(**{k: put(np.ascontiguousarray(v)) for k, v in d.items()})
+    # ONE pytree upload (uncommitted, default device — history fields must
+    # NOT get an axis-0 cells sharding; jit/GSPMD reshards as needed): 12
+    # per-field transfers each pay tunnel dispatch latency, one batched
+    # device_put pays it once (see _state_to_host on the fetch side).
+    return LbfgsState(
+        **jax.device_put({k: np.ascontiguousarray(v) for k, v in d.items()})
+    )
 
 
 def _writeback(host: dict, rows: np.ndarray, st: LbfgsState) -> None:
     n = rows.size
-    out = st._asdict()
+    out = jax.device_get(st._asdict())  # one async-batched fetch (see above)
     for k, v in out.items():
-        v = np.asarray(v)
         if k in _HIST_FIELDS:
             v = np.moveaxis(v, 1, 0)
         host[k][rows] = v[:n]
@@ -806,7 +817,7 @@ def optimize_mll_chunked(
             else jnp.asarray
         )
         res = optimize_mll_batch(put1(h0p), put1(xp), put1(yp), put1(mp), config)
-        return OptimizeResult(*(np.asarray(f)[:b_real] for f in res))
+        return OptimizeResult(*(f[:b_real] for f in jax.device_get(res)))
     b = log_hypers0.shape[0]
     r = config.restarts
     offs = np.asarray(_RESTART_OFFSETS[:r], dtype=log_hypers0.dtype)
@@ -874,13 +885,13 @@ def optimize_mll_chunked(
             if fresh:
                 st = _blank_state(put(h0[rows]))
             else:
-                # History fields are (m, B, ...) — cells axis second — so an
-                # axis-0 cells sharding must not be applied to them;
-                # jit/GSPMD reshards as needed.
-                st = _host_rows_to_state(
-                    host, rows, jnp.asarray if sharding is not None else put
-                )
-            xd, yd, md = put(x[base[rows]]), put(y[base[rows]]), put(mask[base[rows]])
+                st = _host_rows_to_state(host, rows)
+            # one batched 3-array upload (tunnel dispatch latency)
+            xd, yd, md = jax.device_put(
+                (x[base[rows]], y[base[rows]], mask[base[rows]]), sharding
+            ) if sharding is not None else jax.device_put(
+                (x[base[rows]], y[base[rows]], mask[base[rows]])
+            )
             if trace:
                 np.asarray(jax.device_get(md.ravel()[-1]))  # force uploads
                 t1 = time.perf_counter()

@@ -828,6 +828,7 @@ def interpolate_daily(
                 kind=cfg.kind,
                 jitter=cfg.jitter,
             )
+            pred = jax.device_get(pred)  # one batched fetch (tunnel latency)
             _scatter(interp_smth, active_ij, b.cell_index, np.asarray(pred.mean))
             _scatter(interp_error_smth, active_ij, b.cell_index, np.asarray(pred.std))
             _scatter(lz_grid, active_ij, b.cell_index, np.asarray(pred.lZ))
@@ -907,6 +908,7 @@ def interpolate_daily(
             lh_dev, bx, bz, bxs, bm, mean_vec,
             kind=cfg.kind, jitter=cfg.jitter,
         )
+        pred = jax.device_get(pred)  # one batched fetch (tunnel latency)
         hyp = np.exp(np.asarray(lh_dev, dtype=np.float64))
         _scatter(grids["interp"], active_ij, b.cell_index, np.asarray(pred.mean))
         _scatter(grids["interp_error"], active_ij, b.cell_index, np.asarray(pred.std))
@@ -979,6 +981,7 @@ def interpolate_daily(
             kind=cfg.kind,
             jitter=cfg.jitter,
         )
+        pred = jax.device_get(pred)  # one batched fetch (tunnel latency)
         _scatter(interp_smth, active_ij, b.cell_index, np.asarray(pred.mean))
         _scatter(interp_error_smth, active_ij, b.cell_index, np.asarray(pred.std))
       if stats is not None:

@@ -26,6 +26,7 @@ import dataclasses
 import time
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -216,6 +217,7 @@ def _pass1(
                 jnp.asarray(mv),
                 kind=cfg.kind, jitter=cfg.jitter,
             )
+            pred = jax.device_get(pred)  # one batched fetch (tunnel latency)
             _scatter_global("interp", ctxs, offsets, b.cell_index, pred.mean)
             _scatter_global(
                 "interp_error", ctxs, offsets, b.cell_index, pred.std
@@ -408,6 +410,7 @@ def _pass2_assemble(
                 jnp.asarray(mv),
                 kind=cfg.kind, jitter=cfg.jitter,
             )
+            pred = jax.device_get(pred)  # one batched fetch (tunnel latency)
             _scatter_global(
                 "interp_smth", ctxs, offsets, b.cell_index, pred.mean
             )

@@ -159,6 +159,12 @@ def main() -> None:
     print(f"backend={jax.default_backend()}", flush=True)
     seen: dict = {}
     for v in variants:
+        if v == "trace":
+            # everything after this point runs with per-launch phase
+            # timing on stderr (models.optimizer OI_OPT_TRACE, resolved at
+            # call time) — the VERDICT r4 #7 profile hook
+            os.environ["OI_OPT_TRACE"] = "1"
+            continue
         key = v[len("chain_"):] if v.startswith("chain_") else v
         occ = seen.get(v, 0)
         seen[v] = occ + 1
