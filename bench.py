@@ -95,8 +95,14 @@ _PROC_T0 = time.time()
 # >=0.12-scale pass out of the r4 artifact.
 # ---------------------------------------------------------------------------
 _WARM_FIXED_S = 30.0
-_WARM_RATE_CAL_MULT = 3.0  # warm rate ~ 3x the (load-dominated) cal rate
-_WARM_RATE_CAP = 50.0  # best measured clean warm rate; never extrapolate past
+# r5 recalibration: the transfer-batching fix (models.optimizer
+# _state_to_host/_writeback) roughly doubled warm rates (cold day@0.12
+# 34 -> 52 cells/s, chained day 68 -> 115) while the cal pass stays
+# load-dominated (~500 s cold process at 0.12 => ~4 cells/s), so the
+# cal->warm ratio moved from ~3x to ~12x. 6x keeps a 2x safety margin;
+# each completed cold pass's measured rate replaces the estimate anyway.
+_WARM_RATE_CAL_MULT = 6.0
+_WARM_RATE_CAP = 60.0  # ~best measured clean COLD warm-process rate + margin
 # Attempt optimistically: the compact headline is re-printed after every
 # pass, so a deadline kill can never cost a parsed line — a too-big attempt
 # wastes budget, never the artifact.

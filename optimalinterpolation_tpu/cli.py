@@ -52,7 +52,7 @@ def _add_daily_args(p):
     p.add_argument("--warmstart-n", type=int, default=1024,
                    help="optimize buckets larger than this on a strided "
                         "subset first, then fine-tune at full N; 0 disables")
-    p.add_argument("--seed-stride", type=int, default=3,
+    p.add_argument("--seed-stride", type=int, default=4,
                    help="spatial seeding: cold-optimize every Nth grid cell, "
                         "warm-start the rest from the nearest seed; 0 disables")
     p.add_argument("--opt-n-max", type=int, default=None,

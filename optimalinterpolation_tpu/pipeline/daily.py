@@ -115,10 +115,14 @@ class DailyConfig:
     # re-optimizes every cell (seeds included) at full N — so polishing a
     # seed's hypers on its full 2048/4096-point neighborhood is wasted
     # N^3-scale work. Cap seed optimization at a uniform seed_opt_n-point
-    # subsample (hyper estimates from 1024 points are within sampling noise
-    # of the full-N optimum, plenty for an init). Also removes the large-N
-    # optimizer executables from the seed pass entirely. 0 disables.
-    seed_opt_n: int = 1024
+    # subsample. Also removes the large-N optimizer executables from the
+    # seed pass entirely. 0 disables. Default 512 since r5 (VERDICT r4 next
+    # #5, tools/r5_ab.py at scale 0.12): 512 deletes the seed pass's
+    # n1024:m512 stage outright (seed estimates exist only to be
+    # nearest-filled into phase-B inits, which re-optimize at full cap) —
+    # seed wall 12.9 -> 3.9 s with rmse +0.13 mm (inside the 0.5 mm guard),
+    # end-to-end 27% faster together with stride 4.
+    seed_opt_n: int = 512
     # Hard cap on the OPTIMIZATION problem size for every bucket (0 = off):
     # hyperparameters are estimated from a uniform opt_n_max-point subsample
     # of each neighborhood (prediction always uses the full neighborhood).
@@ -145,8 +149,9 @@ class DailyConfig:
     # vary smoothly in space — that is why the reference smooths them).
     # Cold-start cost drops to ~1/stride^2 of the cells; the rest converge
     # in a few fine iterations. Skipped automatically when day-to-day
-    # chained inits (init_hypers) are provided. 0/1 disables.
-    spatial_seed_stride: int = 3
+    # chained inits (init_hypers) are provided. 0/1 disables. Default 4
+    # since r5 (with seed_opt_n=512; see that knob's A/B note).
+    spatial_seed_stride: int = 4
     # Plateau tolerance (nats) for cascade stages: a stage's job is to land
     # in the next stage's basin, not to polish a subsample's optimum that the
     # added data will move anyway — so stages stop an order of magnitude
