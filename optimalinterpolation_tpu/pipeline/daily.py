@@ -854,8 +854,27 @@ def interpolate_daily(
         missing = [k for k in HYPER_NAMES if k not in init_hypers]
         if missing:
             raise ValueError(f"init_hypers missing fields: {missing}")
+        # NEWLY ACTIVE cells (the growing ice edge — ~4-5% of cells/day in
+        # winter) have no chained optimum: nearest-fill each init field so
+        # they start from the nearest chained cell's optimum instead of the
+        # cold x0 (the spatial-seeding insight applied to chaining — hyper
+        # fields vary smoothly in space). Without this they run ~30-50
+        # full-N iterations WITHOUT cascade help (chained buckets skip the
+        # cascade) and dominated the steady-state opt:n512 stage (r5 bench:
+        # 80.6k iters). Changes the optimization PATH only, never the
+        # tolerances/target. All-NaN fields (resume gaps) still fall back
+        # to x0 per cell.
+        from optimalinterpolation_tpu.data.regrid import nearest_fill
+
+        filled = {
+            name: nearest_fill(
+                np.asarray(init_hypers[name], np.float64), ds.x, ds.y,
+                valid_mask=np.isfinite(sie_day),
+            )
+            for name in HYPER_NAMES
+        }
         init_at_cells = np.stack(
-            [np.asarray(init_hypers[name])[active_ij] for name in HYPER_NAMES],
+            [filled[name][active_ij] for name in HYPER_NAMES],
             axis=1,
         )  # (M, 5) linear space; NaN rows fall back to x0
 

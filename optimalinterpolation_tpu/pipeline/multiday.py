@@ -288,6 +288,22 @@ def interpolate_days(
         )
 
     init_fields = list(init_hypers) if init_hypers is not None else None
+    if init_fields is not None:
+        # Nearest-fill each day's chain-init fields so newly active
+        # (ice-edge) cells start from the nearest chained optimum instead
+        # of the cold x0 — see interpolate_daily's init_hypers handling.
+        from optimalinterpolation_tpu.data.regrid import nearest_fill
+
+        init_fields = [
+            None if f is None else {
+                n: nearest_fill(
+                    np.asarray(f[n], np.float64), ds.x, ds.y,
+                    valid_mask=np.isfinite(ds.sie[:, :, d + cfg.t_mid]),
+                )
+                for n in HYPER_NAMES
+            }
+            for d, f in zip(days, init_fields)
+        ]
     seed_init = False
     if (
         cfg.spatial_seed_stride > 1

@@ -481,3 +481,46 @@ def test_blocked_crossover_env_knob(monkeypatch):
     assert D._chunk_rows(4096, 8, budget, 4, nystroem_m=512) == (
         max(8, (expect_nys // 8) * 8)
     )
+
+
+def test_init_hypers_nan_holes_nearest_filled(small_season):
+    """Newly active (ice-edge) cells with no chained optimum must start
+    from the NEAREST chained cell's optimum, not the cold x0: passing init
+    fields with NaN holes must be exactly equivalent to nearest-filling
+    them by hand (the fill is deterministic preprocessing; r5 — the holes
+    dominated the steady-state opt:n512 stage)."""
+    from optimalinterpolation_tpu.data.regrid import nearest_fill
+    from optimalinterpolation_tpu.pipeline.daily import HYPER_NAMES
+
+    ds, truth, dates = small_season
+    cfg = DailyConfig(
+        window_days=9,
+        radius_km=450.0,
+        opt=OptimizeConfig(max_iters=12, ftol_abs=1e-3),
+        buckets=(128, 256, 512),
+        dtype="float64",
+    )
+    cold = interpolate_daily(ds, day=0, prior_mean=0.15, config=cfg)
+    sie_day = ds.sie[:, :, cfg.t_mid]
+    holey = {}
+    rng = np.random.default_rng(3)
+    holes = rng.random(sie_day.shape) < 0.3  # knock out 30% of init cells
+    for n in HYPER_NAMES:
+        f = cold.hypers[n].copy()
+        f[holes] = np.nan
+        holey[n] = f
+    prefilled = {
+        n: nearest_fill(holey[n], ds.x, ds.y,
+                        valid_mask=np.isfinite(sie_day))
+        for n in HYPER_NAMES
+    }
+    ra = interpolate_daily(
+        ds, day=0, prior_mean=0.15, config=cfg, init_hypers=holey
+    )
+    rb = interpolate_daily(
+        ds, day=0, prior_mean=0.15, config=cfg, init_hypers=prefilled
+    )
+    np.testing.assert_array_equal(ra.interp, rb.interp)
+    np.testing.assert_array_equal(ra.interp_smth, rb.interp_smth)
+    for n in HYPER_NAMES:
+        np.testing.assert_array_equal(ra.hypers[n], rb.hypers[n])
